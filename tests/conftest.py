@@ -1,0 +1,33 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding path is
+exercised without TPU hardware (the domain's "multi-node without a cluster"
+answer — see SURVEY.md §4). Must run before the first `import jax`.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+REFERENCE_RESOURCES = "/root/reference/resources"
+
+
+@pytest.fixture(scope="session")
+def resources_dir():
+    if not os.path.isdir(REFERENCE_RESOURCES):
+        pytest.skip("reference resources not mounted")
+    return REFERENCE_RESOURCES
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
