@@ -1,0 +1,150 @@
+"""Device-resident scene: the pytree consumed by the jitted render step.
+
+This is the TPU analog of the reference's descriptor-set ABI
+(``src/main.cpp:1305-1351``): binding 0 (TLAS) → per-instance transforms +
+per-mesh BVH arrays; bindings 2/3 (index/vertex SSBOs) → pre-gathered
+per-triangle corner data; binding 5 (cubemap sampler) → the skybox array;
+binding 1 (UBO) → light/material scalars.
+
+Layout choices (TPU-first):
+
+* **pre-gathered corner SoA**: instead of the reference's index buffer +
+  interleaved vertex buffer chased at hit time (``src/shader.rchit:62-86``),
+  we store per-triangle ``v0/e1/e2`` (intersection) and ``n0/n1/n2``
+  (shading) directly. One gather by primitive id replaces three dependent
+  gathers — gathers are the scarce resource on a vector machine.
+* **object space + transforms as inputs**: triangles stay in object space;
+  instance transforms are ordinary jit inputs. Per-frame "TLAS refit"
+  (``src/main.cpp:606-608,730-778``) is therefore free — no rebuild, no
+  fence, no allocation.
+* geometry of all meshes is concatenated; per-mesh primitive ranges live in
+  the hashable :class:`SceneStatic` so slicing is static under jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytpu.scene import Scene
+
+
+class DeviceScene(NamedTuple):
+    """All dynamic (traced) scene arrays. A plain pytree."""
+
+    # per-triangle corner data, concatenated over meshes (object space)
+    tri_v0: jnp.ndarray  # (T, 3) float32
+    tri_e1: jnp.ndarray  # (T, 3)
+    tri_e2: jnp.ndarray  # (T, 3)
+    tri_n0: jnp.ndarray  # (T, 3) corner vertex normals
+    tri_n1: jnp.ndarray  # (T, 3)
+    tri_n2: jnp.ndarray  # (T, 3)
+
+    # per-instance state (updated every frame by animation; "TLAS refit")
+    o2w: jnp.ndarray        # (N, 3, 4) object→world
+    w2o: jnp.ndarray        # (N, 3, 4) world→object
+    materials: jnp.ndarray  # (N,) int32 (0 diffuse / 1 mirror / 2 refract)
+
+    # environment + lighting (UBO analog, src/main.cpp:1847-1873)
+    skybox: jnp.ndarray           # (6, H, W, 3) float32
+    light_pos: jnp.ndarray        # (3,)
+    light_intensity: jnp.ndarray  # () scalar
+
+    # acceleration structure arrays (None until attached by raytpu.accel):
+    # threaded (skip-link) BVH, concatenated over meshes
+    bvh_aabb_min: Optional[jnp.ndarray] = None  # (M, 3) float32
+    bvh_aabb_max: Optional[jnp.ndarray] = None  # (M, 3)
+    bvh_tri_first: Optional[jnp.ndarray] = None  # (M,) int32, -1 for inner
+    bvh_tri_count: Optional[jnp.ndarray] = None  # (M,) int32
+    bvh_miss: Optional[jnp.ndarray] = None       # (M,) int32 skip link
+    # triangle data permuted into BVH-leaf order (locality), with a map
+    # back to original primitive ids for attribute fetch
+    bvh_tri_v0: Optional[jnp.ndarray] = None   # (T, 3)
+    bvh_tri_e1: Optional[jnp.ndarray] = None
+    bvh_tri_e2: Optional[jnp.ndarray] = None
+    bvh_tri_prim: Optional[jnp.ndarray] = None  # (T,) int32 → global prim id
+
+    def with_transforms(
+        self, o2w: np.ndarray, w2o: np.ndarray
+    ) -> "DeviceScene":
+        """Per-frame instance transform update (the refit analog)."""
+        return self._replace(
+            o2w=jnp.asarray(o2w, jnp.float32), w2o=jnp.asarray(w2o, jnp.float32)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """Hashable static scene metadata (a jit static argument)."""
+
+    # per-mesh (start, count) into the concatenated triangle arrays
+    mesh_prim_ranges: Tuple[Tuple[int, int], ...]
+    # per-instance mesh id
+    instance_mesh: Tuple[int, ...]
+    # per-mesh (start, count) into the concatenated BVH node arrays
+    # (empty until a BVH is attached)
+    mesh_node_ranges: Tuple[Tuple[int, int], ...] = ()
+    # per-mesh (start, count) into the BVH-ordered triangle arrays
+    mesh_bvh_tri_ranges: Tuple[Tuple[int, int], ...] = ()
+
+    @property
+    def num_instances(self) -> int:
+        return len(self.instance_mesh)
+
+    @property
+    def has_bvh(self) -> bool:
+        return len(self.mesh_node_ranges) > 0
+
+
+def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
+    """Host :class:`raytpu.scene.Scene` → device pytree + static metadata.
+
+    The corner pre-gather here performs, once at load time, the index-buffer
+    chase the reference's hit shader performs per ray
+    (``src/shader.rchit:62-86``).
+    """
+    g = scene.geometry
+    tri = g.triangles.astype(np.int64)
+    p = g.positions
+    n = g.normals
+    v0 = p[tri[:, 0]]
+    v1 = p[tri[:, 1]]
+    v2 = p[tri[:, 2]]
+
+    anim = scene.animation()
+    o2w = anim.transforms_3x4()
+    w2o = anim.inverse_transforms_3x4()
+
+    if scene.skybox is not None:
+        skybox = np.asarray(scene.skybox, np.float32)
+    else:
+        skybox = np.zeros((6, 1, 1, 3), np.float32)
+
+    dev = DeviceScene(
+        tri_v0=jnp.asarray(v0),
+        tri_e1=jnp.asarray(v1 - v0),
+        tri_e2=jnp.asarray(v2 - v0),
+        tri_n0=jnp.asarray(n[tri[:, 0]]),
+        tri_n1=jnp.asarray(n[tri[:, 1]]),
+        tri_n2=jnp.asarray(n[tri[:, 2]]),
+        o2w=jnp.asarray(o2w),
+        w2o=jnp.asarray(w2o),
+        materials=jnp.asarray(scene.material_types),
+        skybox=jnp.asarray(skybox),
+        light_pos=jnp.asarray(scene.config.light_position, jnp.float32),
+        light_intensity=jnp.asarray(scene.config.light_intensity, jnp.float32),
+    )
+
+    prim_ranges = []
+    for mesh_id in range(g.num_meshes):
+        _, ps = g.mesh_slice(mesh_id)
+        prim_ranges.append((ps.start, ps.stop - ps.start))
+
+    static = SceneStatic(
+        mesh_prim_ranges=tuple(prim_ranges),
+        instance_mesh=tuple(inst.mesh_id for inst in scene.instances),
+    )
+    return dev, static

@@ -1,0 +1,132 @@
+"""Scene-level trace: two-level (instance → mesh) closest-hit / any-hit.
+
+The TPU-native replacement for ``traceRayEXT`` against a TLAS
+(``src/shader.rgen:86,111``): rays are transformed into each instance's
+object space by the inverse instance transform (what the driver's TLAS
+traversal does in hardware) and tested against that mesh's geometry — brute
+force or threaded-BVH traversal depending on what is attached — keeping the
+closest world-parameterized ``t`` across instances.
+
+The per-instance Python loop is unrolled under jit; with the reference's
+two-instance scenes this is exactly two fused traversals. For large instance
+counts a top-level BVH over instance AABBs would slot in here (extension
+point; no reference config needs it — the reference itself has 2 instances).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from raytpu.device_scene import DeviceScene, SceneStatic
+from raytpu.ops.intersect import (
+    BIG_T,
+    Hit,
+    brute_anyhit,
+    brute_closest,
+)
+
+
+def _to_object_space(w2o_i: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray):
+    """Transform world rays into one instance's object space.
+
+    Direction is NOT renormalized so ``t`` stays in world units
+    (see ops/intersect.py module docstring).
+    """
+    lin = w2o_i[:, :3]  # (3, 3)
+    trans = w2o_i[:, 3]  # (3,)
+    o_obj = o @ lin.T + trans
+    d_obj = d @ lin.T
+    return o_obj, d_obj
+
+
+def closest_hit(
+    scene: DeviceScene,
+    static: SceneStatic,
+    o: jnp.ndarray,     # (R, 3) world-space origins
+    d: jnp.ndarray,     # (R, 3) world-space directions (normalized)
+    tmin: float,
+    tmax: jnp.ndarray,  # (R,) or scalar
+) -> Hit:
+    """Closest hit over all instances. ``prim`` in the result is the GLOBAL
+    primitive index (into the concatenated triangle arrays) — the analog of
+    the offset arithmetic in ``src/shader.rchit:52-61``."""
+    r = o.shape[0]
+    best = Hit(
+        t=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (r,)),
+        prim=jnp.full((r,), -1, jnp.int32),
+        inst=jnp.full((r,), -1, jnp.int32),
+        u=jnp.zeros((r,), jnp.float32),
+        v=jnp.zeros((r,), jnp.float32),
+    )
+    for inst_id, mesh_id in enumerate(static.instance_mesh):
+        o_obj, d_obj = _to_object_space(scene.w2o[inst_id], o, d)
+        if static.has_bvh:
+            from raytpu.ops.traverse import bvh_closest
+
+            t, prim, u, v = bvh_closest(
+                scene, static, mesh_id, o_obj, d_obj, tmin, best.t
+            )
+        else:
+            start, count = static.mesh_prim_ranges[mesh_id]
+            t, prim, u, v = brute_closest(
+                o_obj,
+                d_obj,
+                scene.tri_v0[start : start + count],
+                scene.tri_e1[start : start + count],
+                scene.tri_e2[start : start + count],
+                tmin,
+                best.t,
+            )
+            prim = jnp.where(prim >= 0, prim + start, prim)
+        better = (prim >= 0) & (t < best.t)
+        best = Hit(
+            t=jnp.where(better, t, best.t),
+            prim=jnp.where(better, prim, best.prim),
+            inst=jnp.where(better, jnp.int32(inst_id), best.inst),
+            u=jnp.where(better, u, best.u),
+            v=jnp.where(better, v, best.v),
+        )
+    return Hit(
+        t=jnp.where(best.prim >= 0, best.t, BIG_T),
+        prim=best.prim,
+        inst=best.inst,
+        u=best.u,
+        v=best.v,
+    )
+
+
+def any_hit(
+    scene: DeviceScene,
+    static: SceneStatic,
+    o: jnp.ndarray,
+    d: jnp.ndarray,
+    tmin: float,
+    tmax: jnp.ndarray,  # (R,)
+) -> jnp.ndarray:
+    """Occlusion query over all instances (shadow rays,
+    ``src/shader.rgen:111-112``)."""
+    r = o.shape[0]
+    occluded = jnp.zeros((r,), bool)
+    for inst_id, mesh_id in enumerate(static.instance_mesh):
+        o_obj, d_obj = _to_object_space(scene.w2o[inst_id], o, d)
+        # already-occluded lanes get tmax=0 → trivially rejected everywhere
+        lane_tmax = jnp.where(occluded, 0.0, tmax)
+        if static.has_bvh:
+            from raytpu.ops.traverse import bvh_anyhit
+
+            occ = bvh_anyhit(scene, static, mesh_id, o_obj, d_obj, tmin, lane_tmax)
+        else:
+            start, count = static.mesh_prim_ranges[mesh_id]
+            occ = brute_anyhit(
+                o_obj,
+                d_obj,
+                scene.tri_v0[start : start + count],
+                scene.tri_e1[start : start + count],
+                scene.tri_e2[start : start + count],
+                tmin,
+                lane_tmax,
+            )
+        occluded = occluded | occ
+    return occluded

@@ -1,0 +1,92 @@
+"""Cubemap sampler tests (GL major-axis semantics, src/main.cpp:2376-2412)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from raytpu.ops.sky import cube_face_st, sample_cubemap
+
+
+def _distinct_faces(size=8):
+    """Each face a distinct constant color."""
+    colors = np.eye(3, dtype=np.float32)
+    colors = np.concatenate([colors, 1 - colors], axis=0)  # 6 distinct rgb
+    sky = np.zeros((6, size, size, 3), np.float32)
+    for f in range(6):
+        sky[f] = colors[f]
+    return jnp.asarray(sky), colors
+
+
+def test_major_axis_face_selection():
+    dirs = jnp.asarray(
+        [
+            [1, 0.1, 0.1],   # +X
+            [-1, 0.1, 0.1],  # -X
+            [0.1, 1, 0.1],   # +Y
+            [0.1, -1, 0.1],  # -Y
+            [0.1, 0.1, 1],   # +Z
+            [0.1, 0.1, -1],  # -Z
+        ],
+        jnp.float32,
+    )
+    face, s, t = cube_face_st(dirs)
+    np.testing.assert_array_equal(np.asarray(face), [0, 1, 2, 3, 4, 5])
+    assert np.all((np.asarray(s) >= 0) & (np.asarray(s) <= 1))
+    assert np.all((np.asarray(t) >= 0) & (np.asarray(t) <= 1))
+
+
+def test_face_centers_map_to_center_texel():
+    dirs = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        jnp.float32,
+    )
+    _, s, t = cube_face_st(dirs)
+    np.testing.assert_allclose(np.asarray(s), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), 0.5, atol=1e-6)
+
+
+def test_sample_constant_faces():
+    sky, colors = _distinct_faces()
+    dirs = jnp.asarray(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        jnp.float32,
+    )
+    out = np.asarray(sample_cubemap(sky, dirs))
+    np.testing.assert_allclose(out, colors, atol=1e-6)
+
+
+def test_st_orientation_plus_x():
+    # GL table: +X face has sc=-z, tc=-y. Direction (1, -0.5, -0.5):
+    # sc = 0.5 → s = 0.75; tc = 0.5 → t = 0.75 (right of center, below center)
+    face, s, t = cube_face_st(jnp.asarray([[1.0, -0.5, -0.5]]))
+    assert int(face[0]) == 0
+    np.testing.assert_allclose(float(s[0]), 0.75, atol=1e-6)
+    np.testing.assert_allclose(float(t[0]), 0.75, atol=1e-6)
+
+
+def test_bilinear_interpolates():
+    # 2×2 face: +Z face gradient; sample between texels
+    sky = np.zeros((6, 2, 2, 3), np.float32)
+    sky[4, 0, 0] = [0, 0, 0]
+    sky[4, 0, 1] = [1, 1, 1]
+    sky[4, 1, 0] = [1, 1, 1]
+    sky[4, 1, 1] = [0, 0, 0]
+    out = np.asarray(sample_cubemap(jnp.asarray(sky), jnp.asarray([[0.0, 0.0, 1.0]])))
+    np.testing.assert_allclose(out[0], [0.5, 0.5, 0.5], atol=1e-6)
+
+
+def test_clamp_to_edge_at_corners():
+    sky, colors = _distinct_faces(size=4)
+    # direction pointing at the very corner of the +X face: must not wrap/NaN
+    out = np.asarray(
+        sample_cubemap(sky, jnp.asarray([[1.0, 0.999, 0.999], [1.0, -0.999, -0.999]]))
+    )
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, [colors[0], colors[0]], atol=1e-5)
+
+
+def test_scale_invariance():
+    sky, _ = _distinct_faces()
+    d = jnp.asarray([[0.3, 0.2, 0.9]])
+    a = np.asarray(sample_cubemap(sky, d))
+    b = np.asarray(sample_cubemap(sky, d * 7.5))
+    np.testing.assert_allclose(a, b, rtol=1e-5)
