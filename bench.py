@@ -1,0 +1,42 @@
+#!/usr/bin/env python
+"""Driver benchmark entry: prints ONE JSON line.
+
+Headline metric (BASELINE.json): traced Mrays/s per chip on the
+armadillo-class 1080p 3-bounce Whitted scene (config 4).
+``vs_baseline`` is measured against the 500 Mrays/s/chip north star.
+
+Runs on the default platform (the real TPU chip under axon); set
+RAYTPU_BENCH_PRESET / RAYTPU_BENCH_FRAMES / RAYTPU_HIGHPOLY_DEPTH to vary.
+"""
+
+import json
+import os
+import sys
+
+NORTH_STAR_MRAYS = 500.0
+
+
+def main() -> int:
+    preset = os.environ.get("RAYTPU_BENCH_PRESET", "config4")
+    frames = int(os.environ.get("RAYTPU_BENCH_FRAMES", "8"))
+    depth = int(os.environ.get("RAYTPU_HIGHPOLY_DEPTH", "7"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from raytpu.bench import run_benchmark
+
+    r = run_benchmark(preset=preset, frames=frames, highpoly_depth=depth)
+    out = {
+        "metric": f"traced Mrays/s per chip ({preset}: {r['width']}x{r['height']}, "
+                  f"{r['spp']}spp, {r['max_bounces']}-bounce, "
+                  f"{r['rays_per_frame']/1e6:.1f}M rays/frame, "
+                  f"{r['fps']:.1f} FPS, backend={r['backend']})",
+        "value": round(r["mrays_per_s"], 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(r["mrays_per_s"] / NORTH_STAR_MRAYS, 4),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
