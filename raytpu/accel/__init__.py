@@ -108,10 +108,16 @@ def attach_bvh(
         bvh_tri_e2=jnp.asarray(np.concatenate(bvh_e2)),
         bvh_tri_prim=jnp.asarray(np.concatenate(bvh_prim)),
     )
+    from raytpu.ops.traverse_pallas import fits_vmem
+
     static_out = SceneStatic(
         mesh_prim_ranges=static.mesh_prim_ranges,
         instance_mesh=static.instance_mesh,
         mesh_node_ranges=tuple(node_ranges),
         mesh_bvh_tri_ranges=tuple(tri_ranges),
+        traversal=cfg.traversal,
+        mesh_pallas_ok=tuple(
+            fits_vmem(n, t) for (_, n), (_, t) in zip(node_ranges, tri_ranges)
+        ),
     )
     return dev, static_out

@@ -29,12 +29,14 @@ def count_rays_frame(
     scene: DeviceScene, static: SceneStatic, rs: RenderStatic, camera
 ) -> int:
     """Exact traced-ray count for one frame (closest-hit + shadow rays),
-    replaying the integrator's control flow with counters instead of
+    replaying the integrator's packet control flow with counters instead of
     shading. Small (runs once per benchmark config, off the hot path)."""
-    from raytpu.integrator import _frame_pixels, _interpolate_normal
-    from raytpu.ops.trace import any_hit, closest_hit
+    from raytpu.integrator import _interpolate_normal, _tiled_pixels
+    from raytpu.ops.trace import closest_hit_wave
 
-    pix = _frame_pixels(rs)
+    pix, flat_idx = _tiled_pixels(rs)
+    # padding lanes must not count: their flat index is W*H
+    real_lane = flat_idx < rs.width * rs.height
     camera = jnp.asarray(camera)
 
     @jax.jit
@@ -44,40 +46,38 @@ def count_rays_frame(
         def sample_body(i, total):
             o, d = primary_rays(pix, camera, i, rs.samples_per_pixel,
                                 rs.width, rs.height)
-            active = jnp.ones((pix.shape[0],), bool)
+            active = real_lane
 
             def cond(state):
-                j, _, _, _, active, _ = state
+                j, _, _, _, active = state
                 return (j <= rs.max_bounce_count) & jnp.any(active)
 
             def body(state):
-                j, o, d, total, active, _ = state
+                j, o, d, total, active = state
                 total = total + jnp.sum(active, dtype=jnp.int32)  # closest traces
                 lane_tmax = jnp.where(active, jnp.float32(RAY_TMAX), 0.0)
-                hit = closest_hit(scene, static, o, d, RAY_TMIN, lane_tmax)
+                hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax)
                 hit_mask = active & hit.is_hit
                 n = _interpolate_normal(scene, hit.prim, hit.inst, hit.u, hit.v)
                 mat = jnp.take(scene.materials, jnp.maximum(hit.inst, 0), axis=0)
                 is_diffuse = hit_mask & (mat == 0)
                 front = jnp.sum(d * n, axis=-1) < 0.0
                 total = total + jnp.sum(is_diffuse & front, dtype=jnp.int32)  # shadow
-                pos = o + hit.t[:, None] * d
+                pos = o + hit.t[..., None] * d
                 from raytpu.ops import shade
 
                 o_m, d_m = shade.mirror_bounce(d, n, pos)
                 o_r, d_r = shade.refract_bounce(d, n, pos)
                 cont = hit_mask & ((mat == 1) | (mat == 2))
                 is_mirror = hit_mask & (mat == 1)
-                o = jnp.where(cont[:, None],
-                              jnp.where(is_mirror[:, None], o_m, o_r), o)
-                d = jnp.where(cont[:, None],
-                              jnp.where(is_mirror[:, None], d_m, d_r), d)
-                return j + 1, o, d, total, cont, hit.t
+                o = jnp.where(cont[..., None],
+                              jnp.where(is_mirror[..., None], o_m, o_r), o)
+                d = jnp.where(cont[..., None],
+                              jnp.where(is_mirror[..., None], d_m, d_r), d)
+                return j + 1, o, d, total, cont
 
-            _, _, _, total, _, _ = jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(0), o, d, total, active,
-                 jnp.zeros((pix.shape[0],), jnp.float32)),
+            _, _, _, total, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), o, d, total, active)
             )
             return total
 

@@ -89,6 +89,10 @@ class SceneStatic:
     mesh_node_ranges: Tuple[Tuple[int, int], ...] = ()
     # per-mesh (start, count) into the BVH-ordered triangle arrays
     mesh_bvh_tri_ranges: Tuple[Tuple[int, int], ...] = ()
+    # traversal backend: "auto" | "pallas" | "xla" | "brute"
+    traversal: str = "auto"
+    # per-mesh: BVH + triangles fit the Pallas VMEM residency budget
+    mesh_pallas_ok: Tuple[bool, ...] = ()
 
     @property
     def num_instances(self) -> int:

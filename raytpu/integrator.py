@@ -1,30 +1,33 @@
-"""Whitted integrator: the jitted `render` step.
+"""Whitted integrator: the jitted `render` step (packet-wavefront form).
 
 TPU-native reformulation of the raygen shader (``src/shader.rgen:61-186``,
-the reference's per-pixel GPU program) as a **wavefront** program over SoA
-ray batches:
+the reference's per-pixel GPU program) as a **packet wavefront** program:
 
+* pixels are generated in **tile-major order** (16×16 tiles → packets of
+  K=256 rays) so each packet is spatially coherent — the property packet
+  traversal (``ops/packet.py``) converts into dense VPU work with no
+  per-ray gathers;
 * the reference's per-thread sample loop (``:70``) becomes a
   ``lax.fori_loop`` accumulating sample waves;
 * the per-thread bounce loop (``:84``) becomes a ``lax.while_loop`` over the
-  whole wave with an ``active`` lane mask — it exits as soon as every lane
-  has terminated, so typical scenes pay 2–4 traversal rounds, not 64. This is
-  exactly the reference's own iterative formulation (it sets
+  whole wave with per-lane ``active`` masks — it exits as soon as every lane
+  has terminated, so typical scenes pay 2–4 traversal rounds, not 64. This
+  is the reference's own iterative formulation (it sets
   ``maxPipelineRayRecursionDepth = 1`` and loops in the shader,
   ``src/main.cpp:1586``) — already the TPU-friendly shape;
-* material "branches" are masked elementwise math (``jnp.where``); only
-  traversal is guarded, by giving terminated lanes ``tmax = 0`` so the
-  (coming) BVH rejects them at the root;
-* the shadow trace is skipped entirely (``lax.cond``) when no lane needs it.
+* material "branches" are masked elementwise math; the shadow trace is
+  skipped entirely (``lax.cond``) when no lane needs it; terminated lanes
+  hand traversal a ``tmax = 0`` window so packets full of dead lanes park
+  at the root.
 
-Semantic quirks reproduced bit-for-bit in intent (SSIM fidelity targets, see
-SURVEY.md §7 "hard parts"): hash-RNG pixel jitter (``:57-59,72-73``), focal
-length 2.5 (``:79``), NDC y-flip (``:75``), ambient init replaced (not
-blended) by the skybox on miss (``:81,92``), skybox z-flip (``:92``),
-backface-break for diffuse (``:104-105``), ``0.9^sample_index`` decay
-(``:128``), unused distance attenuation (``:123``), ±0.01 normal offsets
-(``:107,136,158,164``), tmin/tmax 0.001/10000 (``:87``), bounce loop
-inclusive of ``maxBounceCount`` (``:84``).
+Semantic quirks reproduced (SSIM fidelity targets, SURVEY.md §7 "hard
+parts"): hash-RNG pixel jitter (``:57-59,72-73``), focal length 2.5
+(``:79``), NDC y-flip (``:75``), ambient init replaced (not blended) by the
+skybox on miss (``:81,92``), skybox z-flip (``:92``), backface-break for
+diffuse (``:104-105``), ``0.9^sample_index`` decay (``:128``), unused
+distance attenuation (``:123``), ±0.01 normal offsets (``:107,136,158,164``),
+tmin/tmax 0.001/10000 (``:87``), bounce loop inclusive of ``maxBounceCount``
+(``:84``).
 """
 
 from __future__ import annotations
@@ -47,7 +50,7 @@ from raytpu.config import (
 from raytpu.device_scene import DeviceScene, SceneStatic
 from raytpu.ops import shade
 from raytpu.ops.sky import sample_cubemap
-from raytpu.ops.trace import any_hit, closest_hit
+from raytpu.ops.trace import any_hit_wave, closest_hit_wave
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,7 +61,14 @@ class RenderStatic:
     height: int
     samples_per_pixel: int
     max_bounce_count: int
-    ray_chunk: int = 0  # rays per traversal chunk; 0 = whole frame at once
+    ray_chunk: int = 0     # rays per chunk (grouped whole packets); 0 = all
+    tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
+                           # 1024 = one native (8,128) VPU register — the
+                           # Pallas kernel's packet width)
+
+    @property
+    def packet_size(self) -> int:
+        return self.tile * self.tile
 
     @classmethod
     def from_config(cls, config: RenderConfig) -> "RenderStatic":
@@ -83,9 +93,9 @@ def hash_random(pix: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
 
 
 def primary_rays(
-    pix: jnp.ndarray,        # (R, 2) float32 (x, y) pixel coords
+    pix: jnp.ndarray,        # (..., 2) float32 (x, y) pixel coords
     camera: jnp.ndarray,     # (4, 3): position, right, up, forward
-    sample_idx: jnp.ndarray,  # scalar int/float — the loop index i
+    sample_idx: jnp.ndarray,  # scalar — the loop index i
     spp: int,
     width: int,
     height: int,
@@ -102,12 +112,12 @@ def primary_rays(
 
     position, right, up, forward = camera[0], camera[1], camera[2], camera[3]
     d = (
-        uv[:, 0:1] * right[None, :]
-        + uv[:, 1:2] * up[None, :]
-        + FOCAL_LENGTH * forward[None, :]
+        uv[..., 0:1] * right
+        + uv[..., 1:2] * up
+        + FOCAL_LENGTH * forward
     )
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(position[None, :], d.shape)
+    o = jnp.broadcast_to(position, d.shape)
     return o, d
 
 
@@ -116,18 +126,21 @@ def _interpolate_normal(
     u: jnp.ndarray, v: jnp.ndarray,
 ) -> jnp.ndarray:
     """Barycentric normal interpolation + world transform via the
-    inverse-transpose, exactly ``src/shader.rchit:66-94``."""
+    inverse-transpose, exactly ``src/shader.rchit:66-94``.
+
+    Shapes: prim/inst/u/v (...,) → normal (..., 3).
+    """
     p = jnp.maximum(prim, 0)
-    w = (1.0 - u - v)[:, None]
+    w = (1.0 - u - v)[..., None]
     n_obj = (
         w * jnp.take(scene.tri_n0, p, axis=0)
-        + u[:, None] * jnp.take(scene.tri_n1, p, axis=0)
-        + v[:, None] * jnp.take(scene.tri_n2, p, axis=0)
+        + u[..., None] * jnp.take(scene.tri_n1, p, axis=0)
+        + v[..., None] * jnp.take(scene.tri_n2, p, axis=0)
     )
     # n_world = n_obj · W2O_linear  (row-vector × matrix = inverse-transpose
     # transform; src/shader.rchit:94)
-    lin = jnp.take(scene.w2o[:, :, :3], jnp.maximum(inst, 0), axis=0)  # (R,3,3)
-    n_world = jnp.einsum("ri,rij->rj", n_obj, lin)
+    lin = jnp.take(scene.w2o[:, :, :3], jnp.maximum(inst, 0), axis=0)  # (...,3,3)
+    n_world = jnp.einsum("...i,...ij->...j", n_obj, lin)
     return n_world / jnp.maximum(
         jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-30
     )
@@ -137,14 +150,14 @@ def _trace_sample(
     scene: DeviceScene,
     static: SceneStatic,
     rs: RenderStatic,
-    o: jnp.ndarray,
-    d: jnp.ndarray,
+    o: jnp.ndarray,          # (P, K, 3)
+    d: jnp.ndarray,          # (P, K, 3)
     sample_idx: jnp.ndarray,
 ) -> jnp.ndarray:
-    """One sample wave through the bounce loop → (R, 3) color."""
-    r = o.shape[0]
-    tmp = jnp.broadcast_to(shade.ambient_color(), (r, 3))  # :81
-    active = jnp.ones((r,), bool)
+    """One sample wave through the bounce loop → (P, K, 3) color."""
+    p, k = o.shape[0], o.shape[1]
+    tmp = jnp.broadcast_to(shade.ambient_color(), (p, k, 3))  # :81
+    active = jnp.ones((p, k), bool)
     decay = SAMPLE_DECAY ** sample_idx.astype(jnp.float32)  # 0.9^i quirk :128
 
     def cond(state):
@@ -154,7 +167,7 @@ def _trace_sample(
     def body(state):
         j, o, d, tmp, active = state
         lane_tmax = jnp.where(active, jnp.float32(RAY_TMAX), 0.0)
-        hit = closest_hit(scene, static, o, d, RAY_TMIN, lane_tmax)
+        hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax)
         hit_mask = active & hit.is_hit
         miss_mask = active & ~hit.is_hit
 
@@ -162,10 +175,10 @@ def _trace_sample(
         sky = sample_cubemap(
             scene.skybox, d * jnp.asarray([1.0, 1.0, -1.0], d.dtype)
         )
-        tmp = jnp.where(miss_mask[:, None], sky, tmp)
+        tmp = jnp.where(miss_mask[..., None], sky, tmp)
 
         # --- hit attributes ---
-        pos = o + hit.t[:, None] * d
+        pos = o + hit.t[..., None] * d
         n = _interpolate_normal(scene, hit.prim, hit.inst, hit.u, hit.v)
         mat = jnp.take(scene.materials, jnp.maximum(hit.inst, 0), axis=0)
         is_diffuse = hit_mask & (mat == 0)
@@ -176,12 +189,12 @@ def _trace_sample(
         front_face = jnp.sum(d * n, axis=-1) < 0.0
         lit_candidate = is_diffuse & front_face
         shadow_o = pos + HIT_EPSILON * n
-        to_light = scene.light_pos[None, :] - pos
+        to_light = scene.light_pos - pos
         light_dist = jnp.linalg.norm(to_light, axis=-1)
-        l = to_light / jnp.maximum(light_dist[:, None], 1e-30)
+        l = to_light / jnp.maximum(light_dist[..., None], 1e-30)
 
         def do_shadow(_):
-            return any_hit(
+            return any_hit_wave(
                 scene,
                 static,
                 shadow_o,
@@ -193,22 +206,22 @@ def _trace_sample(
         occluded = jax.lax.cond(
             jnp.any(lit_candidate),
             do_shadow,
-            lambda _: jnp.zeros((r,), bool),
+            lambda _: jnp.zeros((p, k), bool),
             operand=None,
         )
         phong = shade.blinn_phong(n, l, -d, scene.light_intensity)
         shade_mask = lit_candidate & ~occluded
-        tmp = tmp + jnp.where(shade_mask[:, None], decay * phong, 0.0)
+        tmp = tmp + jnp.where(shade_mask[..., None], decay * phong, 0.0)
 
         # --- mirror / refract continuations (:132-177) ---
         o_m, d_m = shade.mirror_bounce(d, n, pos)
         o_r, d_r = shade.refract_bounce(d, n, pos)
         cont = is_mirror | is_refract
         o = jnp.where(
-            cont[:, None], jnp.where(is_mirror[:, None], o_m, o_r), o
+            cont[..., None], jnp.where(is_mirror[..., None], o_m, o_r), o
         )
         d = jnp.where(
-            cont[:, None], jnp.where(is_mirror[:, None], d_m, d_r), d
+            cont[..., None], jnp.where(is_mirror[..., None], d_m, d_r), d
         )
         return j + 1, o, d, tmp, cont
 
@@ -218,14 +231,14 @@ def _trace_sample(
     return tmp
 
 
-def render_pixels(
+def render_packets(
     scene: DeviceScene,
     static: SceneStatic,
     rs: RenderStatic,
     camera: jnp.ndarray,  # (4, 3)
-    pix: jnp.ndarray,     # (R, 2) float32 pixel coords
+    pix: jnp.ndarray,     # (P, K, 2) float32 pixel coords (tile-major)
 ) -> jnp.ndarray:
-    """Render a flat batch of pixels → (R, 3) color (sample-averaged)."""
+    """Render packets of pixels → (P, K, 3) color (sample-averaged)."""
 
     def sample_body(i, accum):
         o, d = primary_rays(
@@ -237,16 +250,53 @@ def render_pixels(
         0,
         rs.samples_per_pixel,
         sample_body,
-        jnp.zeros((pix.shape[0], 3), jnp.float32),
+        jnp.zeros((*pix.shape[:2], 3), jnp.float32),
     )
     return accum / rs.samples_per_pixel  # :183
 
 
-def _frame_pixels(rs: RenderStatic) -> jnp.ndarray:
-    """(H·W, 2) float32 (x, y) coords, row-major with row 0 at the top —
-    ``gl_LaunchIDEXT.xy`` layout."""
-    ys, xs = jnp.mgrid[0 : rs.height, 0 : rs.width]
-    return jnp.stack([xs, ys], axis=-1).reshape(-1, 2).astype(jnp.float32)
+# kept name for API continuity: flat (R, 2) pixel batches are reshaped into
+# packets of rs.packet_size (used by the sharded path, whose row slabs are
+# already coherent)
+def render_pixels(
+    scene: DeviceScene,
+    static: SceneStatic,
+    rs: RenderStatic,
+    camera: jnp.ndarray,
+    pix: jnp.ndarray,  # (R, 2)
+) -> jnp.ndarray:
+    r = pix.shape[0]
+    k = min(rs.packet_size, r)
+    pad = (-r) % k
+    pix_p = jnp.pad(pix, ((0, pad), (0, 0)))
+    colors = render_packets(
+        scene, static, rs, camera, pix_p.reshape(-1, k, 2)
+    )
+    return colors.reshape(-1, 3)[:r]
+
+
+def _tiled_pixels(rs: RenderStatic):
+    """Tile-major pixel packets + flat scatter indices.
+
+    Returns ``pix`` (P, K, 2) float32 in (x, y) and ``flat_idx`` (P, K) int32
+    = ``y*W + x`` (out-of-frame padding lanes get W*H, dropped at scatter).
+    Tile-major ordering is what makes packets spatially coherent.
+    """
+    t = rs.tile
+    w_t = -(-rs.width // t)
+    h_t = -(-rs.height // t)
+    ty, tx = jnp.mgrid[0:h_t, 0:w_t]           # tile grid
+    iy, ix = jnp.mgrid[0:t, 0:t]               # intra-tile
+    xs = (tx.reshape(-1, 1) * t + ix.reshape(1, -1)).astype(jnp.int32)  # (P, K)
+    ys = (ty.reshape(-1, 1) * t + iy.reshape(1, -1)).astype(jnp.int32)
+    in_frame = (xs < rs.width) & (ys < rs.height)
+    flat_idx = jnp.where(
+        in_frame, ys * rs.width + xs, jnp.int32(rs.width * rs.height)
+    )
+    pix = jnp.stack(
+        [jnp.minimum(xs, rs.width - 1), jnp.minimum(ys, rs.height - 1)], axis=-1
+    ).astype(jnp.float32)
+    return pix, flat_idx
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -263,17 +313,25 @@ def render_frame(
     with camera and instance transforms as plain inputs so interactive
     updates never recompile.
     """
-    pix = _frame_pixels(rs)
-    r = pix.shape[0]
-    if rs.ray_chunk and rs.ray_chunk < r:
-        chunk = rs.ray_chunk
-        pad = (-r) % chunk
-        pix_p = jnp.pad(pix, ((0, pad), (0, 0)))
-        chunks = pix_p.reshape(-1, chunk, 2)
+    pix, flat_idx = _tiled_pixels(rs)
+    p, k = pix.shape[0], pix.shape[1]
+
+    chunk_packets = 0
+    if rs.ray_chunk:
+        chunk_packets = max(1, rs.ray_chunk // rs.packet_size)
+    if chunk_packets and chunk_packets < p:
+        pad = (-p) % chunk_packets
+        pix_p = jnp.pad(pix, ((0, pad), (0, 0), (0, 0)))
+        groups = pix_p.reshape(-1, chunk_packets, k, 2)
         colors = jax.lax.map(
-            lambda c: render_pixels(scene, static, rs, camera, c), chunks
+            lambda g: render_packets(scene, static, rs, camera, g), groups
         )
-        colors = colors.reshape(-1, 3)[:r]
+        colors = colors.reshape(-1, k, 3)[:p]
     else:
-        colors = render_pixels(scene, static, rs, camera, pix)
-    return colors.reshape(rs.height, rs.width, 3)
+        colors = render_packets(scene, static, rs, camera, pix)
+
+    img_flat = jnp.zeros((rs.width * rs.height, 3), jnp.float32)
+    img_flat = img_flat.at[flat_idx.reshape(-1)].set(
+        colors.reshape(-1, 3), mode="drop"
+    )
+    return img_flat.reshape(rs.height, rs.width, 3)

@@ -97,6 +97,132 @@ def closest_hit(
     )
 
 
+def closest_hit_wave(
+    scene: DeviceScene,
+    static: SceneStatic,
+    o: jnp.ndarray,     # (P, K, 3) world-space origins (packet layout)
+    d: jnp.ndarray,     # (P, K, 3)
+    tmin: float,
+    tmax: jnp.ndarray,  # (P, K) or scalar
+) -> Hit:
+    """Packet-layout closest hit over all instances (the TPU hot path;
+    per-packet consensus traversal, see ``ops/packet.py``)."""
+    p, k = o.shape[0], o.shape[1]
+    best = Hit(
+        t=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k)),
+        prim=jnp.full((p, k), -1, jnp.int32),
+        inst=jnp.full((p, k), -1, jnp.int32),
+        u=jnp.zeros((p, k), jnp.float32),
+        v=jnp.zeros((p, k), jnp.float32),
+    )
+    for inst_id, mesh_id in enumerate(static.instance_mesh):
+        w2o_i = scene.w2o[inst_id]
+        lin = w2o_i[:, :3]
+        o_obj = jnp.einsum("pki,ji->pkj", o, lin) + w2o_i[:, 3]
+        d_obj = jnp.einsum("pki,ji->pkj", d, lin)
+        if static.has_bvh and _use_pallas(static, mesh_id, k):
+            from raytpu.ops.traverse_pallas import pallas_closest
+
+            t, prim, u, v = pallas_closest(
+                scene, static, mesh_id, o_obj, d_obj, tmin, best.t
+            )
+        elif static.has_bvh:
+            from raytpu.ops.packet import packet_closest
+
+            t, prim, u, v = packet_closest(
+                scene, static, mesh_id, o_obj, d_obj, tmin, best.t
+            )
+        else:
+            start, count = static.mesh_prim_ranges[mesh_id]
+            t, prim, u, v = brute_closest(
+                o_obj.reshape(-1, 3),
+                d_obj.reshape(-1, 3),
+                scene.tri_v0[start : start + count],
+                scene.tri_e1[start : start + count],
+                scene.tri_e2[start : start + count],
+                tmin,
+                best.t.reshape(-1),
+            )
+            t = t.reshape(p, k)
+            prim = jnp.where(prim >= 0, prim + start, prim).reshape(p, k)
+            u, v = u.reshape(p, k), v.reshape(p, k)
+        better = (prim >= 0) & (t < best.t)
+        best = Hit(
+            t=jnp.where(better, t, best.t),
+            prim=jnp.where(better, prim, best.prim),
+            inst=jnp.where(better, jnp.int32(inst_id), best.inst),
+            u=jnp.where(better, u, best.u),
+            v=jnp.where(better, v, best.v),
+        )
+    return Hit(
+        t=jnp.where(best.prim >= 0, best.t, BIG_T),
+        prim=best.prim,
+        inst=best.inst,
+        u=best.u,
+        v=best.v,
+    )
+
+
+def any_hit_wave(
+    scene: DeviceScene,
+    static: SceneStatic,
+    o: jnp.ndarray,     # (P, K, 3)
+    d: jnp.ndarray,
+    tmin: float,
+    tmax: jnp.ndarray,  # (P, K)
+) -> jnp.ndarray:
+    """Packet-layout occlusion query over all instances."""
+    p, k = o.shape[0], o.shape[1]
+    occluded = jnp.zeros((p, k), bool)
+    for inst_id, mesh_id in enumerate(static.instance_mesh):
+        w2o_i = scene.w2o[inst_id]
+        lin = w2o_i[:, :3]
+        o_obj = jnp.einsum("pki,ji->pkj", o, lin) + w2o_i[:, 3]
+        d_obj = jnp.einsum("pki,ji->pkj", d, lin)
+        lane_tmax = jnp.where(occluded, 0.0, tmax)
+        if static.has_bvh and _use_pallas(static, mesh_id, k):
+            from raytpu.ops.traverse_pallas import pallas_anyhit
+
+            occ = pallas_anyhit(
+                scene, static, mesh_id, o_obj, d_obj, tmin, lane_tmax
+            )
+        elif static.has_bvh:
+            from raytpu.ops.packet import packet_anyhit
+
+            occ = packet_anyhit(
+                scene, static, mesh_id, o_obj, d_obj, tmin, lane_tmax
+            )
+        else:
+            start, count = static.mesh_prim_ranges[mesh_id]
+            occ = brute_anyhit(
+                o_obj.reshape(-1, 3),
+                d_obj.reshape(-1, 3),
+                scene.tri_v0[start : start + count],
+                scene.tri_e1[start : start + count],
+                scene.tri_e2[start : start + count],
+                tmin,
+                lane_tmax.reshape(-1),
+            ).reshape(p, k)
+        occluded = occluded | occ
+    return occluded
+
+
+def _use_pallas(static: SceneStatic, mesh_id: int, k: int) -> bool:
+    """Static dispatch: Pallas kernel when allowed, resident, and the
+    packet width matches the kernel's register layout."""
+    from raytpu.ops.traverse_pallas import PACKET_K
+
+    if static.traversal == "pallas":
+        return True  # forced (interpret-mode off-TPU)
+    if static.traversal != "auto":
+        return False
+    if k != PACKET_K or not static.mesh_pallas_ok:
+        return False
+    import jax
+
+    return static.mesh_pallas_ok[mesh_id] and jax.default_backend() == "tpu"
+
+
 def any_hit(
     scene: DeviceScene,
     static: SceneStatic,
