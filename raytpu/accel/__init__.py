@@ -61,41 +61,62 @@ def attach_bvh(
     e1_all = np.asarray(dev.tri_e1)
     e2_all = np.asarray(dev.tri_e2)
 
+    def build(v0, e1, e2):
+        if method == "native":
+            from raytpu.accel import native as native_accel
+
+            return native_accel.build_bvh(v0, e1, e2, leaf_size=leaf_size)
+        if method == "lbvh":
+            from raytpu.accel.lbvh import build_lbvh
+
+            return build_lbvh(v0, e1, e2, leaf_size=leaf_size)
+        return build_bvh(v0, e1, e2, leaf_size=leaf_size, method=method)
+
+    from raytpu.accel.chunking import chunk_order, needs_chunking
+
     node_min, node_max, tri_first, tri_count, miss = [], [], [], [], []
     bvh_v0, bvh_e1, bvh_e2, bvh_prim = [], [], [], []
     node_ranges, tri_ranges = [], []
+    # logical mesh → list of traversal-mesh ids (chunks)
+    mesh_chunks = []
     node_acc = tri_acc = 0
 
     for mesh_id, (start, count) in enumerate(static.mesh_prim_ranges):
         v0 = v0_all[start : start + count]
         e1 = e1_all[start : start + count]
         e2 = e2_all[start : start + count]
-        if method == "native":
-            from raytpu.accel import native as native_accel
 
-            bvh = native_accel.build_bvh(v0, e1, e2, leaf_size=leaf_size)
-        elif method == "lbvh":
-            from raytpu.accel.lbvh import build_lbvh
-
-            bvh = build_lbvh(v0, e1, e2, leaf_size=leaf_size)
+        if needs_chunking(count, leaf_size):
+            # chunked BLAS: Morton-split into SMEM-resident sub-BVHs
+            m_order, ranges = chunk_order(v0, e1, e2)
+            pieces = [
+                (m_order[s : s + c],) for (s, c) in ranges
+            ]
         else:
-            bvh = build_bvh(v0, e1, e2, leaf_size=leaf_size, method=method)
+            pieces = [(np.arange(count, dtype=np.int64),)]
 
-        node_ranges.append((node_acc, bvh.num_nodes))
-        tri_ranges.append((tri_acc, bvh.num_triangles))
-        node_acc += bvh.num_nodes
-        tri_acc += bvh.num_triangles
+        chunk_ids = []
+        for (sel,) in pieces:
+            cv0, ce1, ce2 = v0[sel], e1[sel], e2[sel]
+            bvh = build(cv0, ce1, ce2)
+            chunk_ids.append(len(node_ranges))
+            node_ranges.append((node_acc, bvh.num_nodes))
+            tri_ranges.append((tri_acc, bvh.num_triangles))
+            node_acc += bvh.num_nodes
+            tri_acc += bvh.num_triangles
 
-        node_min.append(bvh.aabb_min)
-        node_max.append(bvh.aabb_max)
-        tri_first.append(bvh.tri_first)
-        tri_count.append(bvh.tri_count)
-        miss.append(bvh.miss)
-        order = bvh.tri_order.astype(np.int64)
-        bvh_v0.append(v0[order])
-        bvh_e1.append(e1[order])
-        bvh_e2.append(e2[order])
-        bvh_prim.append(order.astype(np.int32) + start)  # → global prim id
+            node_min.append(bvh.aabb_min)
+            node_max.append(bvh.aabb_max)
+            tri_first.append(bvh.tri_first)
+            tri_count.append(bvh.tri_count)
+            miss.append(bvh.miss)
+            order = bvh.tri_order.astype(np.int64)
+            bvh_v0.append(cv0[order])
+            bvh_e1.append(ce1[order])
+            bvh_e2.append(ce2[order])
+            # → global prim id through the chunk's Morton selection
+            bvh_prim.append((sel[order] + start).astype(np.int32))
+        mesh_chunks.append(tuple(chunk_ids))
 
     dev = dev._replace(
         bvh_aabb_min=jnp.asarray(np.concatenate(node_min)),
@@ -108,7 +129,15 @@ def attach_bvh(
         bvh_tri_e2=jnp.asarray(np.concatenate(bvh_e2)),
         bvh_tri_prim=jnp.asarray(np.concatenate(bvh_prim)),
     )
-    from raytpu.ops.traverse_pallas import fits_vmem
+    from raytpu.ops.traverse_pallas import fits_smem
+
+    # flattened (instance, traversal-mesh) loop list for the tracer:
+    # each instance contributes every chunk of its logical mesh
+    trav_instances = tuple(
+        (inst_id, chunk)
+        for inst_id, mesh_id in enumerate(static.instance_mesh)
+        for chunk in mesh_chunks[mesh_id]
+    )
 
     static_out = SceneStatic(
         mesh_prim_ranges=static.mesh_prim_ranges,
@@ -117,7 +146,8 @@ def attach_bvh(
         mesh_bvh_tri_ranges=tuple(tri_ranges),
         traversal=cfg.traversal,
         mesh_pallas_ok=tuple(
-            fits_vmem(n, t) for (_, n), (_, t) in zip(node_ranges, tri_ranges)
+            fits_smem(n, t) for (_, n), (_, t) in zip(node_ranges, tri_ranges)
         ),
+        trav_instances=trav_instances,
     )
     return dev, static_out

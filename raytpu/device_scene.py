@@ -91,8 +91,18 @@ class SceneStatic:
     mesh_bvh_tri_ranges: Tuple[Tuple[int, int], ...] = ()
     # traversal backend: "auto" | "pallas" | "xla" | "brute"
     traversal: str = "auto"
-    # per-mesh: BVH + triangles fit the Pallas VMEM residency budget
+    # per traversal-mesh: BVH + triangles fit the Pallas SMEM residency budget
     mesh_pallas_ok: Tuple[bool, ...] = ()
+    # flattened (instance_id, traversal_mesh_id) loop list. With chunked
+    # BLAS (raytpu/accel/chunking.py) one logical mesh contributes several
+    # traversal meshes; empty = derive 1:1 from instance_mesh.
+    trav_instances: Tuple[Tuple[int, int], ...] = ()
+
+    @property
+    def traversal_list(self) -> Tuple[Tuple[int, int], ...]:
+        if self.trav_instances:
+            return self.trav_instances
+        return tuple(enumerate(self.instance_mesh))
 
     @property
     def num_instances(self) -> int:

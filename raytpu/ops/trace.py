@@ -60,7 +60,7 @@ def closest_hit(
         u=jnp.zeros((r,), jnp.float32),
         v=jnp.zeros((r,), jnp.float32),
     )
-    for inst_id, mesh_id in enumerate(static.instance_mesh):
+    for inst_id, mesh_id in static.traversal_list:
         o_obj, d_obj = _to_object_space(scene.w2o[inst_id], o, d)
         if static.has_bvh:
             from raytpu.ops.traverse import bvh_closest
@@ -115,7 +115,7 @@ def closest_hit_wave(
         u=jnp.zeros((p, k), jnp.float32),
         v=jnp.zeros((p, k), jnp.float32),
     )
-    for inst_id, mesh_id in enumerate(static.instance_mesh):
+    for inst_id, mesh_id in static.traversal_list:
         w2o_i = scene.w2o[inst_id]
         lin = w2o_i[:, :3]
         o_obj = jnp.einsum("pki,ji->pkj", o, lin) + w2o_i[:, 3]
@@ -174,7 +174,7 @@ def any_hit_wave(
     """Packet-layout occlusion query over all instances."""
     p, k = o.shape[0], o.shape[1]
     occluded = jnp.zeros((p, k), bool)
-    for inst_id, mesh_id in enumerate(static.instance_mesh):
+    for inst_id, mesh_id in static.traversal_list:
         w2o_i = scene.w2o[inst_id]
         lin = w2o_i[:, :3]
         o_obj = jnp.einsum("pki,ji->pkj", o, lin) + w2o_i[:, 3]
@@ -235,7 +235,7 @@ def any_hit(
     ``src/shader.rgen:111-112``)."""
     r = o.shape[0]
     occluded = jnp.zeros((r,), bool)
-    for inst_id, mesh_id in enumerate(static.instance_mesh):
+    for inst_id, mesh_id in static.traversal_list:
         o_obj, d_obj = _to_object_space(scene.w2o[inst_id], o, d)
         # already-occluded lanes get tmax=0 → trivially rejected everywhere
         lane_tmax = jnp.where(occluded, 0.0, tmax)

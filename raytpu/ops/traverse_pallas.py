@@ -6,17 +6,23 @@ for a TPU core:
 * **scalar unit drives traversal**: each grid step owns one ray packet
   (K = 8×128 = 1024 rays, exactly one native VPU register per component) and
   walks the threaded (skip-link) BVH with a *scalar* node pointer in a
-  ``lax.while_loop`` — node meta (first/count/miss) are scalar SMEM loads;
-* **VPU does the tests**: AABB slab tests and Möller–Trumbore run on dense
-  (8, 128) registers with node/triangle data entering as (1, 1) broadcast
-  slices of VMEM rows — no per-lane gathers anywhere;
+  ``lax.while_loop``;
+* **all scene data lives in SMEM as flat 1-D arrays** (AABB components,
+  node meta, triangle corner components): every per-node/per-triangle value
+  is a native scalar load that splats onto the VPU. This avoids the two TPU
+  poisons — per-lane gathers (XLA lowers them to serialized slices) and
+  vector→scalar extracts (pipeline drains): measured ~22 ns per box step vs
+  ~1 µs with VMEM-row extracts;
+* **VPU does the tests**: AABB slab tests and Möller–Trumbore on dense
+  (8, 128) registers;
 * **true branching**: leaf intersection work executes ONLY when the scalar
-  pointer is at a leaf (``pl.when`` on a scalar) — unlike the XLA packet
-  path (``ops/packet.py``) which must execute masked leaf math every step;
-* scene residency: node AABBs (M, 8) f32 + triangles (T, 12) f32 live in
-  VMEM, node meta (M, 3) i32 in SMEM. ``fits_vmem`` gates dispatch; larger
-  meshes fall back to the XLA packet path (extension point: leaf DMA from
-  HBM / chunked BLAS).
+  pointer is at a leaf — unlike the XLA packet path (``ops/packet.py``)
+  which must execute masked leaf math every step.
+
+SMEM is ~1 MB, so per-mesh residency caps at roughly 20k nodes + 20k
+triangles (``fits_smem``); beyond that the scene build splits meshes into
+spatial chunks (``raytpu.accel``) that each fit — the chunked-BLAS answer
+to the reference's monolithic driver-built BLAS.
 
 Packets are pixel tiles (32×32), so intra-packet coherence bounds the
 consensus overhead; per-lane hit state (best t/slot/u/v) keeps per-ray
@@ -30,7 +36,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,25 +44,29 @@ LEAF_UNROLL = 4
 K_SUB, K_LANE = 8, 128           # packet register shape
 PACKET_K = K_SUB * K_LANE        # 1024 rays per packet
 
-# VMEM residency budget for one mesh's BVH (bytes). The chip exposes ~16MB;
-# leave headroom for ray blocks, scratch and double-buffering.
-VMEM_BUDGET = 8 * 1024 * 1024
+# SMEM residency budget for one mesh's BVH (bytes); the core exposes ~1MB.
+SMEM_BUDGET = 768 * 1024
 
 
-def fits_vmem(num_nodes: int, num_tris: int) -> bool:
-    node_bytes = num_nodes * (8 * 4 + 3 * 4)   # aabb rows + smem meta
-    tri_bytes = (num_tris + LEAF_UNROLL) * 12 * 4
-    return node_bytes + tri_bytes < VMEM_BUDGET
+def smem_bytes(num_nodes: int, num_tris: int) -> int:
+    # 6 aabb f32 + 3 meta i32 per node; 9 tri-corner f32 per (padded) tri
+    return (6 + 3) * num_nodes * 4 + 9 * (num_tris + LEAF_UNROLL) * 4
 
 
-def _slab_test(o, d_inv, row, tmin, tfar_cap):
-    """AABB slab test of one node row (a 1-D (8,) vector; components are
-    scalar extracts, which Mosaic splats natively) against the packet.
-    Returns (8, 128) bool."""
+def fits_smem(num_nodes: int, num_tris: int) -> bool:
+    return smem_bytes(num_nodes, num_tris) < SMEM_BUDGET
+
+
+# dispatch-gate name used by accel/__init__.py
+fits_vmem = fits_smem
+
+
+def _slab(o, d_inv, bxs, n, tmin, tfar_cap):
+    """Slab test of node ``n`` (scalar SMEM loads) vs the packet → (8,128)."""
     tns, tfs = [], []
     for axis in range(3):
-        lo = (row[axis] - o[axis]) * d_inv[axis]
-        hi = (row[3 + axis] - o[axis]) * d_inv[axis]
+        lo = (bxs[axis][n] - o[axis]) * d_inv[axis]
+        hi = (bxs[3 + axis][n] - o[axis]) * d_inv[axis]
         tns.append(jnp.minimum(lo, hi))
         tfs.append(jnp.maximum(lo, hi))
     t_near = jnp.maximum(jnp.maximum(tns[0], tns[1]), jnp.maximum(tns[2], tmin))
@@ -65,13 +74,13 @@ def _slab_test(o, d_inv, row, tmin, tfar_cap):
     return t_near <= t_far
 
 
-def _mt_tri(o, d, trow, tmin, best_t):
-    """Möller–Trumbore of one leaf triangle (a 1-D (12,) row; components are
-    scalar extracts) against the packet. Returns (t, u, v, hit), (8, 128)."""
-    v0 = [trow[c] for c in range(3)]
-    e1 = [trow[3 + c] for c in range(3)]
-    e2 = [trow[6 + c] for c in range(3)]
-    # pvec = d × e2
+def _mt(o, d, T, s, tmin, best_t):
+    """Möller–Trumbore of triangle slot ``s`` (scalar SMEM loads) vs the
+    packet. Returns (t, u, v, hit), all (8, 128)."""
+    v0 = [T[c][s] for c in range(3)]
+    e1 = [T[3 + c][s] for c in range(3)]
+    e2 = [T[6 + c][s] for c in range(3)]
+    # pvec = d × e2 (e2 components are scalars → scalar·vector VPU math)
     px = d[1] * e2[2] - d[2] * e2[1]
     py = d[2] * e2[0] - d[0] * e2[2]
     pz = d[0] * e2[1] - d[1] * e2[0]
@@ -81,7 +90,6 @@ def _mt_tri(o, d, trow, tmin, best_t):
     tvy = o[1] - v0[1]
     tvz = o[2] - v0[2]
     u = (tvx * px + tvy * py + tvz * pz) * inv_det
-    # qvec = tvec × e1
     qx = tvy * e1[2] - tvz * e1[1]
     qy = tvz * e1[0] - tvx * e1[2]
     qz = tvx * e1[1] - tvy * e1[0]
@@ -98,9 +106,18 @@ def _mt_tri(o, d, trow, tmin, best_t):
     return t, u, v, hit
 
 
-def _closest_kernel(meta_ref, aabb_ref, tri_ref, rays_ref, tmax_ref,
-                    t_out, slot_out, u_out, v_out, *, end: int, tmin: float):
-    """One grid step = one packet's full closest-hit traversal."""
+def _closest_kernel(*refs, end: int, tmin: float):
+    """One grid step = one packet's full closest-hit traversal.
+
+    refs: [bx0..bx5, first, count, miss, t0..t8, rays, tmax,
+           t_out, slot_out, u_out, v_out]
+    """
+    bxs = refs[0:6]
+    first_ref, count_ref, miss_ref = refs[6], refs[7], refs[8]
+    T = refs[9:18]
+    live_ref, rays_ref, tmax_ref = refs[18], refs[19], refs[20]
+    t_out, slot_out, u_out, v_out = refs[21], refs[22], refs[23], refs[24]
+
     o = [rays_ref[0, c] for c in range(3)]        # each (8, 128)
     d = [rays_ref[0, 3 + c] for c in range(3)]
     d_inv = [
@@ -109,28 +126,27 @@ def _closest_kernel(meta_ref, aabb_ref, tri_ref, rays_ref, tmax_ref,
     ]
     tmax = tmax_ref[0]
 
-    live0 = tmax > tmin
-    node0 = jnp.where(jnp.any(live0), jnp.int32(0), jnp.int32(end))
+    # CRITICAL: node0 must be a *pure scalar* (SMEM load), never derived
+    # from vector data — a vector-derived init forces Mosaic to treat the
+    # whole while state as vector-dependent (measured 100x slowdown).
+    node0 = jnp.where(live_ref[0] != 0, jnp.int32(0), jnp.int32(end))
 
     def cond(state):
         return state[0] != end
 
     def body(state):
         node, best_t, best_slot, best_u, best_v = state
-        first = meta_ref[node, 0]
-        count = meta_ref[node, 1]
-        miss = meta_ref[node, 2]
+        first = first_ref[node]
         is_leaf = first >= 0
 
-        arow = aabb_ref[node, :]                  # (8,) dynamic row
-        box_hit = _slab_test(o, d_inv, arow, tmin, best_t)
+        box_hit = _slab(o, d_inv, bxs, node, tmin, best_t)
         any_box = jnp.any(box_hit)
 
         def leaf_case(carry):
             bt, bs, bu, bv = carry
+            count = count_ref[node]
             for k in range(LEAF_UNROLL):
-                trow = tri_ref[first + k, :]       # (12,) dynamic row
-                t, u, v, hit = _mt_tri(o, d, trow, tmin, bt)
+                t, u, v, hit = _mt(o, d, T, first + k, tmin, bt)
                 hit = hit & (k < count)
                 bs = jnp.where(hit, first + k, bs)
                 bu = jnp.where(hit, u, bu)
@@ -145,7 +161,7 @@ def _closest_kernel(meta_ref, aabb_ref, tri_ref, rays_ref, tmax_ref,
             (best_t, best_slot, best_u, best_v),
         )
 
-        nxt = jnp.where(is_leaf | ~any_box, miss, node + 1)
+        nxt = jnp.where(is_leaf | ~any_box, miss_ref[node], node + 1)
         return nxt, best_t, best_slot, best_u, best_v
 
     init = (
@@ -164,9 +180,14 @@ def _closest_kernel(meta_ref, aabb_ref, tri_ref, rays_ref, tmax_ref,
     v_out[0] = best_v
 
 
-def _anyhit_kernel(meta_ref, aabb_ref, tri_ref, rays_ref, tmax_ref,
-                   occ_out, *, end: int, tmin: float):
+def _anyhit_kernel(*refs, end: int, tmin: float):
     """One grid step = one packet's occlusion traversal with early exit."""
+    bxs = refs[0:6]
+    first_ref, count_ref, miss_ref = refs[6], refs[7], refs[8]
+    T = refs[9:18]
+    live_ref, rays_ref, tmax_ref = refs[18], refs[19], refs[20]
+    occ_out = refs[21]
+
     o = [rays_ref[0, c] for c in range(3)]
     d = [rays_ref[0, 3 + c] for c in range(3)]
     d_inv = [
@@ -175,27 +196,25 @@ def _anyhit_kernel(meta_ref, aabb_ref, tri_ref, rays_ref, tmax_ref,
     ]
     tmax = tmax_ref[0]
     live0 = tmax > tmin
-    node0 = jnp.where(jnp.any(live0), jnp.int32(0), jnp.int32(end))
+    # scalar-clean init (see _closest_kernel)
+    node0 = jnp.where(live_ref[0] != 0, jnp.int32(0), jnp.int32(end))
 
     def cond(state):
         return state[0] != end
 
     def body(state):
         node, occluded = state
-        first = meta_ref[node, 0]
-        count = meta_ref[node, 1]
-        miss = meta_ref[node, 2]
+        first = first_ref[node]
         is_leaf = first >= 0
 
         pending_t = jnp.where(live0 & ~occluded, tmax, 0.0)
-        arow = aabb_ref[node, :]
-        box_hit = _slab_test(o, d_inv, arow, tmin, pending_t)
+        box_hit = _slab(o, d_inv, bxs, node, tmin, pending_t)
         any_box = jnp.any(box_hit)
 
         def leaf_case(occ):
+            count = count_ref[node]
             for k in range(LEAF_UNROLL):
-                trow = tri_ref[first + k, :]
-                _, _, _, hit = _mt_tri(o, d, trow, tmin, pending_t)
+                _, _, _, hit = _mt(o, d, T, first + k, tmin, pending_t)
                 occ = occ | (hit & (k < count))
             return occ
 
@@ -203,7 +222,7 @@ def _anyhit_kernel(meta_ref, aabb_ref, tri_ref, rays_ref, tmax_ref,
                                 lambda c: c, occluded)
 
         done = ~jnp.any(live0 & ~occluded)
-        nxt = jnp.where(is_leaf | ~any_box, miss, node + 1)
+        nxt = jnp.where(is_leaf | ~any_box, miss_ref[node], node + 1)
         nxt = jnp.where(done, jnp.int32(end), nxt)
         return nxt, occluded
 
@@ -225,6 +244,48 @@ def _pack_rays(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return soa.reshape(p, 6, K_SUB, K_LANE)
 
 
+_SMEM = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _mesh_tables(scene, static, mesh_id: int):
+    """Slice one mesh's BVH into flat 1-D SMEM table arrays.
+
+    Static slicing (mesh ranges are static) lets XLA fuse these into cheap
+    per-compilation transforms — no per-frame host repacking.
+    """
+    node_base, node_count = static.mesh_node_ranges[mesh_id]
+    tri_base, tri_count = static.mesh_bvh_tri_ranges[mesh_id]
+
+    def nslice(arr):
+        return jax.lax.slice_in_dim(arr, node_base, node_base + node_count,
+                                    axis=0)
+
+    def tslice(arr):
+        x = jax.lax.slice_in_dim(arr, tri_base, tri_base + tri_count, axis=0)
+        # pad: leaf blocks [first, first+LEAF_UNROLL) always in-bounds
+        return jnp.concatenate(
+            [x, jnp.zeros((LEAF_UNROLL, 3), x.dtype)], axis=0
+        )
+
+    bmin = nslice(scene.bvh_aabb_min)
+    bmax = nslice(scene.bvh_aabb_max)
+    boxes = [bmin[:, c] for c in range(3)] + [bmax[:, c] for c in range(3)]
+    meta = [
+        nslice(scene.bvh_tri_first),
+        nslice(scene.bvh_tri_count),
+        nslice(scene.bvh_miss),
+    ]
+    tv0 = tslice(scene.bvh_tri_v0)
+    te1 = tslice(scene.bvh_tri_e1)
+    te2 = tslice(scene.bvh_tri_e2)
+    tris = (
+        [tv0[:, c] for c in range(3)]
+        + [te1[:, c] for c in range(3)]
+        + [te2[:, c] for c in range(3)]
+    )
+    return boxes, meta, tris
+
+
 def pallas_closest(
     scene,         # DeviceScene
     static,        # SceneStatic
@@ -237,51 +298,39 @@ def pallas_closest(
     """Packet closest-hit via the Pallas kernel. Same contract as
     ``ops.packet.packet_closest``."""
     node_base, node_count = static.mesh_node_ranges[mesh_id]
-    tri_base, tri_count = static.mesh_bvh_tri_ranges[mesh_id]
+    tri_base, _ = static.mesh_bvh_tri_ranges[mesh_id]
     p, k = o.shape[0], o.shape[1]
     assert k == PACKET_K, f"pallas path needs K={PACKET_K}, got {k}"
 
-    aabb, meta, tris = _mesh_tables(scene, static, mesh_id)
-
+    boxes, meta, tris = _mesh_tables(scene, static, mesh_id)
     rays = _pack_rays(o, d)
-    tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k)).reshape(
-        p, K_SUB, K_LANE
-    )
+    tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+    live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)   # (P,)
+    tmax_r = tmax_pk.reshape(p, K_SUB, K_LANE)
 
-    grid = (p,)
     kernel = functools.partial(
         _closest_kernel, end=node_count, tmin=float(tmin)
     )
+    blk = lambda i: (i, 0, 0)  # noqa: E731
     t, slot, u, v = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(p,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # aabb
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tris
+        in_specs=[_SMEM] * 18 + [
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 6, K_SUB, K_LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_SUB, K_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, K_SUB, K_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_SUB, K_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_SUB, K_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_SUB, K_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[pl.BlockSpec((1, K_SUB, K_LANE), blk,
+                                memory_space=pltpu.VMEM)] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32),
             jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
             jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32),
             jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32),
         ],
-    )(meta, aabb, tris, rays, tmax_r)
+    )(*boxes, *meta, *tris, live, rays, tmax_r)
 
     t = t.reshape(p, k)
     slot = slot.reshape(p, k)
@@ -304,75 +353,28 @@ def pallas_anyhit(
     p, k = o.shape[0], o.shape[1]
     assert k == PACKET_K, f"pallas path needs K={PACKET_K}, got {k}"
 
-    aabb, meta, tris = _mesh_tables(scene, static, mesh_id)
+    boxes, meta, tris = _mesh_tables(scene, static, mesh_id)
     rays = _pack_rays(o, d)
-    tmax_r = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k)).reshape(
-        p, K_SUB, K_LANE
-    )
+    tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+    live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)
+    tmax_r = tmax_pk.reshape(p, K_SUB, K_LANE)
 
     kernel = functools.partial(
         _anyhit_kernel, end=node_count, tmin=float(tmin)
     )
+    blk = lambda i: (i, 0, 0)  # noqa: E731
     occ = pl.pallas_call(
         kernel,
         grid=(p,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[_SMEM] * 18 + [
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 6, K_SUB, K_LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_SUB, K_LANE), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, K_SUB, K_LANE), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, K_SUB, K_LANE), blk,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.bool_),
-    )(meta, aabb, tris, rays, tmax_r)
+    )(*boxes, *meta, *tris, live, rays, tmax_r)
     return occ.reshape(p, k)
-
-
-def _mesh_tables(scene, static, mesh_id: int):
-    """Slice + pack one mesh's BVH into kernel table layouts.
-
-    Static slicing (mesh ranges are static) lets XLA fold these into
-    constants per compilation — no per-frame repacking.
-    """
-    node_base, node_count = static.mesh_node_ranges[mesh_id]
-    tri_base, tri_count = static.mesh_bvh_tri_ranges[mesh_id]
-
-    bmin = jax.lax.slice_in_dim(scene.bvh_aabb_min, node_base,
-                                node_base + node_count, axis=0)
-    bmax = jax.lax.slice_in_dim(scene.bvh_aabb_max, node_base,
-                                node_base + node_count, axis=0)
-    aabb = jnp.concatenate(
-        [bmin, bmax, jnp.zeros((node_count, 2), jnp.float32)], axis=1
-    )  # (M, 8)
-
-    meta = jnp.stack(
-        [
-            jax.lax.slice_in_dim(scene.bvh_tri_first, node_base,
-                                 node_base + node_count, axis=0),
-            jax.lax.slice_in_dim(scene.bvh_tri_count, node_base,
-                                 node_base + node_count, axis=0),
-            jax.lax.slice_in_dim(scene.bvh_miss, node_base,
-                                 node_base + node_count, axis=0),
-        ],
-        axis=1,
-    )  # (M, 3) int32, mesh-local links
-
-    v0 = jax.lax.slice_in_dim(scene.bvh_tri_v0, tri_base,
-                              tri_base + tri_count, axis=0)
-    e1 = jax.lax.slice_in_dim(scene.bvh_tri_e1, tri_base,
-                              tri_base + tri_count, axis=0)
-    e2 = jax.lax.slice_in_dim(scene.bvh_tri_e2, tri_base,
-                              tri_base + tri_count, axis=0)
-    tris = jnp.concatenate(
-        [v0, e1, e2, jnp.zeros((tri_count, 3), jnp.float32)], axis=1
-    )  # (T, 12)
-    # pad so leaf blocks [first, first+4) are always in-bounds
-    tris = jnp.concatenate(
-        [tris, jnp.zeros((LEAF_UNROLL, 12), jnp.float32)], axis=0
-    )
-    return aabb, meta, tris
