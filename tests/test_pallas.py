@@ -61,8 +61,9 @@ def _packet_rays(rng, p=2):
     return jnp.asarray(o), jnp.asarray(d)
 
 
-def test_pallas_closest_matches_brute(rng):
-    dev, static, (v0, e1, e2) = _setup(rng)
+def test_pallas_closest_matches_brute():
+    rng = np.random.default_rng(42)  # hermetic: shared fixture rng makes
+    dev, static, (v0, e1, e2) = _setup(rng)  # failures order-dependent
     o, d = _packet_rays(rng, p=2)
     tmax = jnp.full((2, PACKET_K), 1e4, jnp.float32)
 
@@ -79,14 +80,17 @@ def test_pallas_closest_matches_brute(rng):
     np.testing.assert_array_equal(pt >= 0, hit)
     # same t everywhere; prim may legitimately differ only on exact-t ties
     # (brute picks block-argmin order, traversal picks encounter order)
+    # rtol loose enough for FMA-order differences on near-tmin hits
     np.testing.assert_allclose(
-        np.asarray(tt).reshape(-1)[hit], np.asarray(tb)[hit], rtol=1e-5
+        np.asarray(tt).reshape(-1)[hit], np.asarray(tb)[hit],
+        rtol=1e-4, atol=1e-6,
     )
     agree = pt[hit] == pb[hit]
     assert agree.mean() > 0.999, f"{(~agree).sum()} non-tie prim mismatches"
 
 
-def test_pallas_anyhit_matches_brute(rng):
+def test_pallas_anyhit_matches_brute():
+    rng = np.random.default_rng(43)
     dev, static, (v0, e1, e2) = _setup(rng)
     o, d = _packet_rays(rng, p=2)
     tmax = jnp.full((2, PACKET_K), 2.0, jnp.float32)
@@ -102,7 +106,8 @@ def test_pallas_anyhit_matches_brute(rng):
     )
 
 
-def test_pallas_dead_packet_parks(rng):
+def test_pallas_dead_packet_parks():
+    rng = np.random.default_rng(44)
     dev, static, _ = _setup(rng, t=50)
     o, d = _packet_rays(rng, p=2)
     tmax = jnp.zeros((2, PACKET_K), jnp.float32)  # all lanes dead
@@ -110,7 +115,8 @@ def test_pallas_dead_packet_parks(rng):
     assert (np.asarray(p) == -1).all()
 
 
-def test_pallas_per_lane_tmax_prunes(rng):
+def test_pallas_per_lane_tmax_prunes():
+    rng = np.random.default_rng(45)
     dev, static, (v0, e1, e2) = _setup(rng)
     o, d = _packet_rays(rng, p=1)
     wide = jnp.full((1, PACKET_K), 1e4, jnp.float32)
