@@ -118,7 +118,12 @@ def attach_bvh(
             bvh_prim.append((sel[order] + start).astype(np.int32))
         mesh_chunks.append(tuple(chunk_ids))
 
+    n_soa = np.asarray(dev.tri_n_soa)  # (9, T_global), prim-ordered
+    prim_all = np.concatenate(bvh_prim).astype(np.int64)
+    bvh_n_soa = np.ascontiguousarray(n_soa[:, prim_all])  # (9, T_bvh)
+
     dev = dev._replace(
+        bvh_tri_n_soa=jnp.asarray(bvh_n_soa),
         bvh_aabb_min=jnp.asarray(np.concatenate(node_min)),
         bvh_aabb_max=jnp.asarray(np.concatenate(node_max)),
         bvh_tri_first=jnp.asarray(np.concatenate(tri_first)),

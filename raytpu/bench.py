@@ -31,12 +31,12 @@ def count_rays_frame(
     """Exact traced-ray count for one frame (closest-hit + shadow rays),
     replaying the integrator's packet control flow with counters instead of
     shading. Small (runs once per benchmark config, off the hot path)."""
-    from raytpu.integrator import _interpolate_normal, _tiled_pixels
+    from raytpu.integrator import _tiled_pixels, primary_rays_soa
+    from raytpu.ops import shade
+    from raytpu.ops import vec3 as v3
     from raytpu.ops.trace import closest_hit_wave
 
-    pix, flat_idx = _tiled_pixels(rs)
-    # padding lanes must not count: their flat index is W*H
-    real_lane = flat_idx < rs.width * rs.height
+    (px, py), flat_idx, real_lane = _tiled_pixels(rs)
     camera = jnp.asarray(camera)
 
     @jax.jit
@@ -44,8 +44,8 @@ def count_rays_frame(
         total = jnp.zeros((), jnp.int32)
 
         def sample_body(i, total):
-            o, d = primary_rays(pix, camera, i, rs.samples_per_pixel,
-                                rs.width, rs.height)
+            o, d = primary_rays_soa((px, py), camera, i, rs.samples_per_pixel,
+                                    rs.width, rs.height)
             active = real_lane
 
             def cond(state):
@@ -58,22 +58,19 @@ def count_rays_frame(
                 lane_tmax = jnp.where(active, jnp.float32(RAY_TMAX), 0.0)
                 hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax)
                 hit_mask = active & hit.is_hit
-                n = _interpolate_normal(scene, hit.prim, hit.inst, hit.u, hit.v)
-                mat = jnp.take(scene.materials, jnp.maximum(hit.inst, 0), axis=0)
+                n = hit.n
+                mat = hit.mat
                 is_diffuse = hit_mask & (mat == 0)
-                front = jnp.sum(d * n, axis=-1) < 0.0
+                front = v3.dot(d, n) < 0.0
                 total = total + jnp.sum(is_diffuse & front, dtype=jnp.int32)  # shadow
-                pos = o + hit.t[..., None] * d
-                from raytpu.ops import shade
+                pos = v3.add(o, v3.scale(hit.t, d))
 
-                o_m, d_m = shade.mirror_bounce(d, n, pos)
-                o_r, d_r = shade.refract_bounce(d, n, pos)
+                o_m, d_m = shade.mirror_bounce_soa(d, n, pos)
+                o_r, d_r = shade.refract_bounce_soa(d, n, pos)
                 cont = hit_mask & ((mat == 1) | (mat == 2))
                 is_mirror = hit_mask & (mat == 1)
-                o = jnp.where(cont[..., None],
-                              jnp.where(is_mirror[..., None], o_m, o_r), o)
-                d = jnp.where(cont[..., None],
-                              jnp.where(is_mirror[..., None], d_m, d_r), d)
+                o = v3.where(cont, v3.where(is_mirror, o_m, o_r), o)
+                d = v3.where(cont, v3.where(is_mirror, d_m, d_r), d)
                 return j + 1, o, d, total, cont
 
             _, _, _, total, _ = jax.lax.while_loop(

@@ -53,6 +53,15 @@ class DeviceScene(NamedTuple):
     light_pos: jnp.ndarray        # (3,)
     light_intensity: jnp.ndarray  # () scalar
 
+    # component-SoA mirrors for the TPU wave path (see ops/vec3.py):
+    # shading normals as 9 contiguous per-component tables, skybox as 3
+    # channel planes — gathers from 1-D arrays tile perfectly
+    tri_n_soa: Optional[jnp.ndarray] = None    # (9, T): n0x n0y n0z n1x ... n2z
+    skybox_soa: Optional[jnp.ndarray] = None   # (3, 6*H*W)
+    # skybox packed RGB8 into one uint32 word per texel: ONE gather per
+    # bilinear tap instead of three (XLA TPU gathers cost ~7ns/lane each)
+    skybox_u32: Optional[jnp.ndarray] = None   # (6*H*W,) uint32
+
     # acceleration structure arrays (None until attached by raytpu.accel):
     # threaded (skip-link) BVH, concatenated over meshes
     bvh_aabb_min: Optional[jnp.ndarray] = None  # (M, 3) float32
@@ -66,6 +75,10 @@ class DeviceScene(NamedTuple):
     bvh_tri_e1: Optional[jnp.ndarray] = None
     bvh_tri_e2: Optional[jnp.ndarray] = None
     bvh_tri_prim: Optional[jnp.ndarray] = None  # (T,) int32 → global prim id
+    # shading normals in BVH-slot order (9, Tbvh): lets the Pallas kernel
+    # interpolate normals at hit time from SMEM scalars — no post-trace
+    # per-lane gathers
+    bvh_tri_n_soa: Optional[jnp.ndarray] = None
 
     def with_transforms(
         self, o2w: np.ndarray, w2o: np.ndarray
@@ -137,19 +150,34 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
     else:
         skybox = np.zeros((6, 1, 1, 3), np.float32)
 
+    n0, n1, n2 = n[tri[:, 0]], n[tri[:, 1]], n[tri[:, 2]]
+    tri_n_soa = np.ascontiguousarray(
+        np.concatenate([n0.T, n1.T, n2.T], axis=0).astype(np.float32)
+    )  # (9, T)
+    skybox_soa = np.ascontiguousarray(
+        skybox.transpose(3, 0, 1, 2).reshape(3, -1).astype(np.float32)
+    )  # (3, 6*H*W)
+    sky8 = np.clip(skybox * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    skybox_u32 = (
+        sky8[..., 0] | (sky8[..., 1] << 8) | (sky8[..., 2] << 16)
+    ).reshape(-1)  # (6*H*W,)
+
     dev = DeviceScene(
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(v1 - v0),
         tri_e2=jnp.asarray(v2 - v0),
-        tri_n0=jnp.asarray(n[tri[:, 0]]),
-        tri_n1=jnp.asarray(n[tri[:, 1]]),
-        tri_n2=jnp.asarray(n[tri[:, 2]]),
+        tri_n0=jnp.asarray(n0),
+        tri_n1=jnp.asarray(n1),
+        tri_n2=jnp.asarray(n2),
         o2w=jnp.asarray(o2w),
         w2o=jnp.asarray(w2o),
         materials=jnp.asarray(scene.material_types),
         skybox=jnp.asarray(skybox),
         light_pos=jnp.asarray(scene.config.light_position, jnp.float32),
         light_intensity=jnp.asarray(scene.config.light_intensity, jnp.float32),
+        tri_n_soa=jnp.asarray(tri_n_soa),
+        skybox_soa=jnp.asarray(skybox_soa),
+        skybox_u32=jnp.asarray(skybox_u32),
     )
 
     prim_ranges = []

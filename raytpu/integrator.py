@@ -49,7 +49,8 @@ from raytpu.config import (
 )
 from raytpu.device_scene import DeviceScene, SceneStatic
 from raytpu.ops import shade
-from raytpu.ops.sky import sample_cubemap
+from raytpu.ops import vec3 as v3
+from raytpu.ops.sky import sample_cubemap_u32
 from raytpu.ops.trace import any_hit_wave, closest_hit_wave
 
 
@@ -100,98 +101,131 @@ def primary_rays(
     width: int,
     height: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Jittered primary ray generation (``src/shader.rgen:70-79``)."""
+    """Jittered primary ray generation (``src/shader.rgen:70-79``).
+
+    AoS (…, 3) variant, kept for the flat/sharded path and tests."""
+    o3, d3 = primary_rays_soa(
+        (pix[..., 0], pix[..., 1]), camera, sample_idx, spp, width, height
+    )
+    return v3.to_array(o3), v3.to_array(d3)
+
+
+def primary_rays_soa(
+    pix,                     # (px, py): two (...,) float32 pixel coords
+    camera: jnp.ndarray,     # (4, 3)
+    sample_idx: jnp.ndarray,
+    spp: int,
+    width: int,
+    height: int,
+):
+    """Component-SoA jittered primary rays (the wave path)."""
+    px, py = pix
     s = sample_idx.astype(jnp.float32)
     seed0 = jnp.float32(spp) + s          # seedOffset = samples (:69)
-    jx = hash_random(pix, seed0)
-    jy = hash_random(pix, seed0 + 0.5)
-    uv = (pix + jnp.stack([jx, jy], axis=-1)) / jnp.asarray(
-        [width, height], jnp.float32
-    )
-    uv = (uv * 2.0 - 1.0) * jnp.asarray([1.0, -1.0], jnp.float32)  # y-flip (:75)
 
-    position, right, up, forward = camera[0], camera[1], camera[2], camera[3]
-    d = (
-        uv[..., 0:1] * right
-        + uv[..., 1:2] * up
-        + FOCAL_LENGTH * forward
+    def rnd(seed):
+        x = jnp.sin(px * 12.9898 + py * 78.233 + 1113.1 * seed) * 43758.5453
+        return x - jnp.floor(x)
+
+    ux = ((px + rnd(seed0)) / width) * 2.0 - 1.0
+    uy = -(((py + rnd(seed0 + 0.5)) / height) * 2.0 - 1.0)   # y-flip (:75)
+
+    # camera rows are (3,) device arrays; components index as scalars
+    right, up, fwd = camera[1], camera[2], camera[3]
+    d = tuple(
+        ux * right[c] + uy * up[c] + FOCAL_LENGTH * fwd[c] for c in range(3)
     )
-    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-    o = jnp.broadcast_to(position, d.shape)
+    d = v3.normalize(d)
+    o = tuple(jnp.broadcast_to(camera[0, c], d[0].shape) for c in range(3))
     return o, d
 
 
-def _interpolate_normal(
+def _interpolate_normal_soa(
     scene: DeviceScene, prim: jnp.ndarray, inst: jnp.ndarray,
     u: jnp.ndarray, v: jnp.ndarray,
-) -> jnp.ndarray:
+):
     """Barycentric normal interpolation + world transform via the
-    inverse-transpose, exactly ``src/shader.rchit:66-94``.
+    inverse-transpose, exactly ``src/shader.rchit:66-94`` — component-SoA:
+    nine 1-D table gathers (layout-perfect) + scalar-coefficient transform.
 
-    Shapes: prim/inst/u/v (...,) → normal (..., 3).
+    Instance-transform note: per-lane instance ids would need a gather of
+    3×3 matrix rows; instead we select per INSTANCE with masks (the
+    instance count is tiny and static), keeping everything elementwise.
     """
     p = jnp.maximum(prim, 0)
-    w = (1.0 - u - v)[..., None]
-    n_obj = (
-        w * jnp.take(scene.tri_n0, p, axis=0)
-        + u[..., None] * jnp.take(scene.tri_n1, p, axis=0)
-        + v[..., None] * jnp.take(scene.tri_n2, p, axis=0)
+    w = 1.0 - u - v
+    n_obj = tuple(
+        w * jnp.take(scene.tri_n_soa[c], p, axis=0)
+        + u * jnp.take(scene.tri_n_soa[3 + c], p, axis=0)
+        + v * jnp.take(scene.tri_n_soa[6 + c], p, axis=0)
+        for c in range(3)
     )
-    # n_world = n_obj · W2O_linear  (row-vector × matrix = inverse-transpose
-    # transform; src/shader.rchit:94)
-    lin = jnp.take(scene.w2o[:, :, :3], jnp.maximum(inst, 0), axis=0)  # (...,3,3)
-    n_world = jnp.einsum("...i,...ij->...j", n_obj, lin)
-    return n_world / jnp.maximum(
-        jnp.linalg.norm(n_world, axis=-1, keepdims=True), 1e-30
-    )
+    # n_world = n_obj · W2O_linear (src/shader.rchit:94), instance-selected
+    n_world = None
+    num_inst = scene.w2o.shape[0]
+    for i in range(num_inst):
+        cand = v3.linear_cols(scene.w2o[i], n_obj)
+        if n_world is None:
+            n_world = cand
+        else:
+            n_world = v3.where(inst == i, cand, n_world)
+    return v3.normalize(n_world)
 
 
 def _trace_sample(
     scene: DeviceScene,
     static: SceneStatic,
     rs: RenderStatic,
-    o: jnp.ndarray,          # (P, K, 3)
-    d: jnp.ndarray,          # (P, K, 3)
+    o,                       # Vec3 of (P, K)
+    d,                       # Vec3 of (P, K)
     sample_idx: jnp.ndarray,
-) -> jnp.ndarray:
-    """One sample wave through the bounce loop → (P, K, 3) color."""
-    p, k = o.shape[0], o.shape[1]
-    tmp = jnp.broadcast_to(shade.ambient_color(), (p, k, 3))  # :81
-    active = jnp.ones((p, k), bool)
+    active0: jnp.ndarray,    # (P, K) initial lane mask (padding excluded)
+):
+    """One sample wave through the bounce loop → Vec3 color of (P, K)."""
+    p, k = o[0].shape
+    amb = shade.ambient_tuple()
+    tmp = tuple(jnp.full((p, k), c, jnp.float32) for c in amb)  # :81
     decay = SAMPLE_DECAY ** sample_idx.astype(jnp.float32)  # 0.9^i quirk :128
+    sky_h, sky_w = scene.skybox.shape[1], scene.skybox.shape[2]
+    zero = jnp.zeros((p, k), jnp.float32)
+    # DEFERRED skybox: each lane misses at most once, so record the miss
+    # direction during the loop and do the (expensive, per-lane-gather)
+    # cubemap fetch exactly ONCE per sample wave after the loop — instead of
+    # once per bounce iteration. Semantics identical: on miss the color is
+    # REPLACED by the skybox and the lane terminates (:90-94).
+    miss_rec = jnp.zeros((p, k), bool)
+    miss_dir = (zero, zero, zero + 1.0)
 
     def cond(state):
-        j, _, _, _, active = state
+        j, _, _, _, active, _, _ = state
         return (j <= rs.max_bounce_count) & jnp.any(active)  # inclusive :84
 
     def body(state):
-        j, o, d, tmp, active = state
+        j, o, d, tmp, active, miss_rec, miss_dir = state
         lane_tmax = jnp.where(active, jnp.float32(RAY_TMAX), 0.0)
         hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax)
         hit_mask = active & hit.is_hit
         miss_mask = active & ~hit.is_hit
 
-        # --- miss → skybox replaces color (:90-94), z-flipped lookup ---
-        sky = sample_cubemap(
-            scene.skybox, d * jnp.asarray([1.0, 1.0, -1.0], d.dtype)
-        )
-        tmp = jnp.where(miss_mask[..., None], sky, tmp)
+        # --- miss → record direction for the deferred skybox fetch ---
+        miss_rec = miss_rec | miss_mask
+        miss_dir = v3.where(miss_mask, d, miss_dir)
 
-        # --- hit attributes ---
-        pos = o + hit.t[..., None] * d
-        n = _interpolate_normal(scene, hit.prim, hit.inst, hit.u, hit.v)
-        mat = jnp.take(scene.materials, jnp.maximum(hit.inst, 0), axis=0)
+        # --- hit attributes (normal + material merged by the tracer) ---
+        pos = v3.add(o, v3.scale(hit.t, d))
+        n = hit.n
+        mat = hit.mat
         is_diffuse = hit_mask & (mat == 0)
         is_mirror = hit_mask & (mat == 1)
         is_refract = hit_mask & (mat == 2)
 
         # --- diffuse: backface break (:104-105), shadow ray + Blinn-Phong ---
-        front_face = jnp.sum(d * n, axis=-1) < 0.0
+        front_face = v3.dot(d, n) < 0.0
         lit_candidate = is_diffuse & front_face
-        shadow_o = pos + HIT_EPSILON * n
-        to_light = scene.light_pos - pos
-        light_dist = jnp.linalg.norm(to_light, axis=-1)
-        l = to_light / jnp.maximum(light_dist[..., None], 1e-30)
+        shadow_o = v3.add(pos, v3.scale(HIT_EPSILON, n))
+        to_light = tuple(scene.light_pos[c] - pos[c] for c in range(3))
+        light_dist = v3.norm(to_light)
+        l = v3.scale(1.0 / jnp.maximum(light_dist, 1e-30), to_light)
 
         def do_shadow(_):
             return any_hit_wave(
@@ -209,50 +243,60 @@ def _trace_sample(
             lambda _: jnp.zeros((p, k), bool),
             operand=None,
         )
-        phong = shade.blinn_phong(n, l, -d, scene.light_intensity)
+        phong = shade.blinn_phong_soa(n, l, v3.neg(d), scene.light_intensity)
         shade_mask = lit_candidate & ~occluded
-        tmp = tmp + jnp.where(shade_mask[..., None], decay * phong, 0.0)
+        zero = jnp.zeros((p, k), jnp.float32)
+        tmp = v3.add(
+            tmp,
+            v3.where(shade_mask, v3.scale(decay, phong), (zero, zero, zero)),
+        )
 
         # --- mirror / refract continuations (:132-177) ---
-        o_m, d_m = shade.mirror_bounce(d, n, pos)
-        o_r, d_r = shade.refract_bounce(d, n, pos)
+        o_m, d_m = shade.mirror_bounce_soa(d, n, pos)
+        o_r, d_r = shade.refract_bounce_soa(d, n, pos)
         cont = is_mirror | is_refract
-        o = jnp.where(
-            cont[..., None], jnp.where(is_mirror[..., None], o_m, o_r), o
-        )
-        d = jnp.where(
-            cont[..., None], jnp.where(is_mirror[..., None], d_m, d_r), d
-        )
-        return j + 1, o, d, tmp, cont
+        o = v3.where(cont, v3.where(is_mirror, o_m, o_r), o)
+        d = v3.where(cont, v3.where(is_mirror, d_m, d_r), d)
+        return j + 1, o, d, tmp, cont, miss_rec, miss_dir
 
-    _, _, _, tmp, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), o, d, tmp, active)
+    _, _, _, tmp, _, miss_rec, miss_dir = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), o, d, tmp, active0, miss_rec, miss_dir)
     )
-    return tmp
+    # deferred skybox fetch (:90-94), z-flipped lookup; non-miss lanes
+    # point at a fixed direction so their (masked-out) gather taps all hit
+    # the same HBM line — the gather is random-access bound
+    mdx = jnp.where(miss_rec, miss_dir[0], 0.0)
+    mdy = jnp.where(miss_rec, miss_dir[1], 0.0)
+    mdz = jnp.where(miss_rec, -miss_dir[2], 1.0)
+    sky = sample_cubemap_u32(scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz))
+    return v3.where(miss_rec, sky, tmp)
 
 
 def render_packets(
     scene: DeviceScene,
     static: SceneStatic,
     rs: RenderStatic,
-    camera: jnp.ndarray,  # (4, 3)
-    pix: jnp.ndarray,     # (P, K, 2) float32 pixel coords (tile-major)
-) -> jnp.ndarray:
-    """Render packets of pixels → (P, K, 3) color (sample-averaged)."""
+    camera: jnp.ndarray,   # (4, 3)
+    px: jnp.ndarray,       # (P, K) float32 pixel x coords (tile-major)
+    py: jnp.ndarray,       # (P, K) float32 pixel y coords
+    active0: jnp.ndarray,  # (P, K) lane mask (frame-padding excluded)
+):
+    """Render packets of pixels → Vec3 color of (P, K) (sample-averaged)."""
+    p, k = px.shape
 
     def sample_body(i, accum):
-        o, d = primary_rays(
-            pix, camera, i, rs.samples_per_pixel, rs.width, rs.height
+        o, d = primary_rays_soa(
+            (px, py), camera, i, rs.samples_per_pixel, rs.width, rs.height
         )
-        return accum + _trace_sample(scene, static, rs, o, d, i)
+        return v3.add(
+            accum, _trace_sample(scene, static, rs, o, d, i, active0)
+        )
 
+    zero = jnp.zeros((p, k), jnp.float32)
     accum = jax.lax.fori_loop(
-        0,
-        rs.samples_per_pixel,
-        sample_body,
-        jnp.zeros((*pix.shape[:2], 3), jnp.float32),
+        0, rs.samples_per_pixel, sample_body, (zero, zero, zero)
     )
-    return accum / rs.samples_per_pixel  # :183
+    return v3.scale(1.0 / rs.samples_per_pixel, accum)  # :183
 
 
 # kept name for API continuity: flat (R, 2) pixel batches are reshaped into
@@ -268,19 +312,22 @@ def render_pixels(
     r = pix.shape[0]
     k = min(rs.packet_size, r)
     pad = (-r) % k
-    pix_p = jnp.pad(pix, ((0, pad), (0, 0)))
-    colors = render_packets(
-        scene, static, rs, camera, pix_p.reshape(-1, k, 2)
+    px = jnp.pad(pix[:, 0], (0, pad)).reshape(-1, k)
+    py = jnp.pad(pix[:, 1], (0, pad)).reshape(-1, k)
+    active0 = (
+        jnp.arange(px.size, dtype=jnp.int32).reshape(px.shape) < r
     )
-    return colors.reshape(-1, 3)[:r]
+    colors = render_packets(scene, static, rs, camera, px, py, active0)
+    return v3.to_array(colors).reshape(-1, 3)[:r]
 
 
 def _tiled_pixels(rs: RenderStatic):
-    """Tile-major pixel packets + flat scatter indices.
+    """Tile-major pixel packets + flat scatter indices (component form).
 
-    Returns ``pix`` (P, K, 2) float32 in (x, y) and ``flat_idx`` (P, K) int32
-    = ``y*W + x`` (out-of-frame padding lanes get W*H, dropped at scatter).
-    Tile-major ordering is what makes packets spatially coherent.
+    Returns ``(px, py)`` (P, K) float32, ``flat_idx`` (P, K) int32 =
+    ``y*W + x`` (out-of-frame padding lanes get W*H, dropped at scatter),
+    and ``in_frame`` (P, K) bool. Tile-major ordering is what makes packets
+    spatially coherent.
     """
     t = rs.tile
     w_t = -(-rs.width // t)
@@ -293,10 +340,9 @@ def _tiled_pixels(rs: RenderStatic):
     flat_idx = jnp.where(
         in_frame, ys * rs.width + xs, jnp.int32(rs.width * rs.height)
     )
-    pix = jnp.stack(
-        [jnp.minimum(xs, rs.width - 1), jnp.minimum(ys, rs.height - 1)], axis=-1
-    ).astype(jnp.float32)
-    return pix, flat_idx
+    px = jnp.minimum(xs, rs.width - 1).astype(jnp.float32)
+    py = jnp.minimum(ys, rs.height - 1).astype(jnp.float32)
+    return (px, py), flat_idx, in_frame
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -313,25 +359,39 @@ def render_frame(
     with camera and instance transforms as plain inputs so interactive
     updates never recompile.
     """
-    pix, flat_idx = _tiled_pixels(rs)
-    p, k = pix.shape[0], pix.shape[1]
+    (px, py), flat_idx, in_frame = _tiled_pixels(rs)
+    p, k = px.shape
 
     chunk_packets = 0
     if rs.ray_chunk:
         chunk_packets = max(1, rs.ray_chunk // rs.packet_size)
     if chunk_packets and chunk_packets < p:
         pad = (-p) % chunk_packets
-        pix_p = jnp.pad(pix, ((0, pad), (0, 0), (0, 0)))
-        groups = pix_p.reshape(-1, chunk_packets, k, 2)
-        colors = jax.lax.map(
-            lambda g: render_packets(scene, static, rs, camera, g), groups
+        pad3 = ((0, pad), (0, 0))
+        gx = jnp.pad(px, pad3).reshape(-1, chunk_packets, k)
+        gy = jnp.pad(py, pad3).reshape(-1, chunk_packets, k)
+        ga = jnp.pad(in_frame, pad3).reshape(-1, chunk_packets, k)
+        colors3 = jax.lax.map(
+            lambda g: v3.to_array(
+                render_packets(scene, static, rs, camera, g[0], g[1],
+                               g[2] != 0)
+            ),
+            (gx, gy, ga.astype(jnp.int32)),
         )
-        colors = colors.reshape(-1, k, 3)[:p]
+        colors3 = colors3.reshape(-1, k, 3)[:p]
+        colors = (colors3[..., 0], colors3[..., 1], colors3[..., 2])
     else:
-        colors = render_packets(scene, static, rs, camera, pix)
+        colors = render_packets(scene, static, rs, camera, px, py, in_frame)
 
-    img_flat = jnp.zeros((rs.width * rs.height, 3), jnp.float32)
-    img_flat = img_flat.at[flat_idx.reshape(-1)].set(
-        colors.reshape(-1, 3), mode="drop"
-    )
-    return img_flat.reshape(rs.height, rs.width, 3)
+    # structural detile (pure reshape/transpose — no scatter): packets are
+    # (Ht*Wt) tiles of (tile*tile) pixels in row-major intra-tile order
+    t = rs.tile
+    h_t = -(-rs.height // t)
+    w_t = -(-rs.width // t)
+    planes = [
+        c.reshape(h_t, w_t, t, t)
+        .transpose(0, 2, 1, 3)
+        .reshape(h_t * t, w_t * t)[: rs.height, : rs.width]
+        for c in colors
+    ]
+    return jnp.stack(planes, axis=-1)

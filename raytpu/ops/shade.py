@@ -43,6 +43,64 @@ def ambient_color(dtype=jnp.float32) -> jnp.ndarray:
     return jnp.asarray(AMBIENT_INTENSITY, dtype) * jnp.asarray(AMBIENT_COEFF, dtype)
 
 
+# ---------------------------------------------------------------------------
+# component-SoA variants (the TPU wave path; see ops/vec3.py for why)
+# ---------------------------------------------------------------------------
+
+from raytpu.ops import vec3 as v3  # noqa: E402
+
+
+def ambient_tuple():
+    return tuple(
+        float(a) * float(k) for a, k in zip(AMBIENT_INTENSITY, AMBIENT_COEFF)
+    )
+
+
+def reflect_soa(d, n):
+    """``d − 2·(d·n)·n`` componentwise."""
+    k = 2.0 * v3.dot(d, n)
+    return v3.sub(d, v3.scale(k, n))
+
+
+def blinn_phong_soa(n, l, view, light_intensity):
+    """Componentwise Blinn–Phong (``src/shader.rgen:116-126``). Returns a
+    Vec3 contribution; caller applies decay + shadow mask."""
+    h = v3.normalize(v3.add(l, view))
+    ndotl = jnp.maximum(v3.dot(n, l), 0.0)
+    ndoth = jnp.maximum(v3.dot(n, h), 0.0)
+    spec = ndoth ** SPECULAR_EXPONENT
+    return tuple(
+        light_intensity * (kd_c * ndotl + ks_c * spec)
+        for kd_c, ks_c in zip(DIFFUSE_COEFF, SPECULAR_COEFF)
+    )
+
+
+def mirror_bounce_soa(d, n, hit_pos):
+    """Mirror branch (``src/shader.rgen:132-138``)."""
+    new_o = v3.add(hit_pos, v3.scale(HIT_EPSILON, n))
+    return new_o, reflect_soa(d, n)
+
+
+def refract_bounce_soa(d, n, hit_pos):
+    """Refractive branch with Snell + TIR (``src/shader.rgen:139-177``)."""
+    ndoti = v3.dot(d, n)
+    outwards = ndoti > 0.0
+    n_f = v3.where(outwards, v3.neg(n), n)
+    ndoti_f = jnp.where(outwards, -ndoti, ndoti)
+    ratio = jnp.where(outwards, INDEX_OF_REFRACTION, 1.0 / INDEX_OF_REFRACTION)
+    k = 1.0 - ratio * ratio * (1.0 - ndoti_f * ndoti_f)
+    tir = k < 0.0
+
+    d_tir = reflect_soa(d, n_f)
+    o_tir = v3.add(hit_pos, v3.scale(HIT_EPSILON, n_f))
+
+    coeff = ratio * ndoti_f + jnp.sqrt(jnp.maximum(k, 0.0))
+    r = v3.normalize(v3.sub(v3.scale(ratio, d), v3.scale(coeff, n_f)))
+    o_ref = v3.sub(hit_pos, v3.scale(HIT_EPSILON, n_f))
+
+    return v3.where(tir, o_tir, o_ref), v3.where(tir, d_tir, r)
+
+
 def reflect(d: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """GLSL ``reflect``: ``d − 2·(d·n)·n`` (``src/shader.rgen:137,157``)."""
     return d - 2.0 * jnp.sum(d * n, axis=-1, keepdims=True) * n

@@ -64,6 +64,126 @@ def cube_face_st(dirs: jnp.ndarray):
     return face, s, t
 
 
+def sample_cubemap_u32(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
+    """Bilinear cube-map lookup from RGB8-packed-uint32 texels.
+
+    ONE per-lane gather per bilinear tap (4 total) instead of three —
+    XLA TPU gathers cost ~7ns/lane each, so halving the tap count matters
+    more than anything else in the miss path. Unpacking is cheap VPU bit
+    math; sources are 8-bit JPEG faces, so packing loses nothing.
+
+    ``skybox_u32``: (6·H·W,) uint32 (R | G<<8 | B<<16); ``dirs``: Vec3.
+    Returns a Vec3 of linear RGB in [0, 1].
+    """
+    x, y, z = dirs
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-30)
+    sc = jnp.where(
+        is_x,
+        jnp.where(x >= 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
+    )
+    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
+    s = 0.5 * (sc / ma + 1.0)
+    t = 0.5 * (tc / ma + 1.0)
+
+    fx = s * w - 0.5
+    fy = t * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    base = face * (h * w)
+
+    def tap(yc, xc):
+        word = jnp.take(skybox_u32, base + yc * w + xc, axis=0)
+        inv = jnp.float32(1.0 / 255.0)
+        return (
+            (word & 0xFF).astype(jnp.float32) * inv,
+            ((word >> 8) & 0xFF).astype(jnp.float32) * inv,
+            ((word >> 16) & 0xFF).astype(jnp.float32) * inv,
+        )
+
+    c00 = tap(y0c, x0c)
+    c01 = tap(y0c, x1c)
+    c10 = tap(y1c, x0c)
+    c11 = tap(y1c, x1c)
+    out = []
+    for c in range(3):
+        top = c00[c] * (1 - wx) + c01[c] * wx
+        bot = c10[c] * (1 - wx) + c11[c] * wx
+        out.append(top * (1 - wy) + bot * wy)
+    return tuple(out)
+
+
+def sample_cubemap_soa(skybox_soa: jnp.ndarray, h: int, w: int, dirs):
+    """Component-SoA bilinear cube-map lookup (the TPU wave-path variant).
+
+    ``skybox_soa``: (3, 6·H·W) float32 channel planes; ``dirs``: a Vec3
+    (tuple of 3 same-shape arrays). Returns a Vec3 of linear RGB. Gathers
+    are per-channel from contiguous 1-D planes — the layout-friendly form
+    (see ops/vec3.py).
+    """
+    x, y, z = dirs
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-30)
+    sc = jnp.where(
+        is_x,
+        jnp.where(x >= 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
+    )
+    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
+    s = 0.5 * (sc / ma + 1.0)
+    t = 0.5 * (tc / ma + 1.0)
+
+    fx = s * w - 0.5
+    fy = t * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    base = face * (h * w)
+
+    i00 = base + y0c * w + x0c
+    i01 = base + y0c * w + x1c
+    i10 = base + y1c * w + x0c
+    i11 = base + y1c * w + x1c
+
+    out = []
+    for c in range(3):
+        plane = skybox_soa[c]
+        c00 = jnp.take(plane, i00, axis=0)
+        c01 = jnp.take(plane, i01, axis=0)
+        c10 = jnp.take(plane, i10, axis=0)
+        c11 = jnp.take(plane, i11, axis=0)
+        top = c00 * (1 - wx) + c01 * wx
+        bot = c10 * (1 - wx) + c11 * wx
+        out.append(top * (1 - wy) + bot * wy)
+    return tuple(out)
+
+
 def sample_cubemap(skybox: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Bilinear cube-map lookup.
 

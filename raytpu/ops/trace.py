@@ -15,7 +15,7 @@ point; no reference config needs it — the reference itself has 2 instances).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -97,88 +97,145 @@ def closest_hit(
     )
 
 
+class HitWave(NamedTuple):
+    """Shading-ready closest-hit result for a packet wave.
+
+    Everything shading needs is merged gather-free at instance-merge time:
+    the world-space shading normal (kernel-interpolated + instance
+    inverse-transpose transform, ``src/shader.rchit:93-94``) and the
+    per-lane material id. ``prim``/``inst`` are retained for tests/debug
+    (``prim`` costs one gather — only computed on the CPU fallback paths)."""
+
+    t: jnp.ndarray       # (P, K) float32, BIG_T on miss
+    valid: jnp.ndarray   # (P, K) bool
+    mat: jnp.ndarray     # (P, K) int32 material type of hit instance
+    n: tuple             # Vec3 of (P, K): world-space unit shading normal
+    inst: jnp.ndarray    # (P, K) int32 instance id, -1 on miss
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def is_hit(self) -> jnp.ndarray:
+        return self.valid
+
+
 def closest_hit_wave(
     scene: DeviceScene,
     static: SceneStatic,
-    o: jnp.ndarray,     # (P, K, 3) world-space origins (packet layout)
-    d: jnp.ndarray,     # (P, K, 3)
+    o,                  # Vec3 of (P, K): world-space origins (packet layout)
+    d,                  # Vec3 of (P, K)
     tmin: float,
     tmax: jnp.ndarray,  # (P, K) or scalar
-) -> Hit:
+) -> HitWave:
     """Packet-layout closest hit over all instances (the TPU hot path;
-    per-packet consensus traversal, see ``ops/packet.py``)."""
-    p, k = o.shape[0], o.shape[1]
-    best = Hit(
-        t=jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k)),
-        prim=jnp.full((p, k), -1, jnp.int32),
-        inst=jnp.full((p, k), -1, jnp.int32),
-        u=jnp.zeros((p, k), jnp.float32),
-        v=jnp.zeros((p, k), jnp.float32),
-    )
+    per-packet consensus traversal, see ``ops/packet.py`` /
+    ``ops/traverse_pallas.py``).
+
+    Component-SoA interface (ops/vec3.py): ``o``/``d`` are tuples of three
+    (P, K) arrays."""
+    from raytpu.ops import vec3 as v3
+
+    p, k = o[0].shape
+    zero = jnp.zeros((p, k), jnp.float32)
+    best_t = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+    best_valid = jnp.zeros((p, k), bool)
+    best_mat = jnp.zeros((p, k), jnp.int32)
+    best_n = (zero, zero, zero + 1.0)
+    best_inst = jnp.full((p, k), -1, jnp.int32)
+    best_u = zero
+    best_v = zero
+
     for inst_id, mesh_id in static.traversal_list:
         w2o_i = scene.w2o[inst_id]
-        lin = w2o_i[:, :3]
-        o_obj = jnp.einsum("pki,ji->pkj", o, lin) + w2o_i[:, 3]
-        d_obj = jnp.einsum("pki,ji->pkj", d, lin)
+        o_obj = v3.affine_rows(w2o_i, o)
+        d_obj = v3.linear_rows(w2o_i, d)
         if static.has_bvh and _use_pallas(static, mesh_id, k):
             from raytpu.ops.traverse_pallas import pallas_closest
 
-            t, prim, u, v = pallas_closest(
-                scene, static, mesh_id, o_obj, d_obj, tmin, best.t
+            t, slot, u, v, n_obj = pallas_closest(
+                scene, static, mesh_id, o_obj, d_obj, tmin, best_t
             )
+            found = slot >= 0
         elif static.has_bvh:
             from raytpu.ops.packet import packet_closest
 
             t, prim, u, v = packet_closest(
-                scene, static, mesh_id, o_obj, d_obj, tmin, best.t
+                scene, static, mesh_id, o_obj, d_obj, tmin, best_t
             )
+            found = prim >= 0
+            n_obj = _normals_by_prim(scene, prim, u, v)
         else:
             start, count = static.mesh_prim_ranges[mesh_id]
             t, prim, u, v = brute_closest(
-                o_obj.reshape(-1, 3),
-                d_obj.reshape(-1, 3),
+                v3.to_array(o_obj).reshape(-1, 3),
+                v3.to_array(d_obj).reshape(-1, 3),
                 scene.tri_v0[start : start + count],
                 scene.tri_e1[start : start + count],
                 scene.tri_e2[start : start + count],
                 tmin,
-                best.t.reshape(-1),
+                best_t.reshape(-1),
             )
             t = t.reshape(p, k)
             prim = jnp.where(prim >= 0, prim + start, prim).reshape(p, k)
             u, v = u.reshape(p, k), v.reshape(p, k)
-        better = (prim >= 0) & (t < best.t)
-        best = Hit(
-            t=jnp.where(better, t, best.t),
-            prim=jnp.where(better, prim, best.prim),
-            inst=jnp.where(better, jnp.int32(inst_id), best.inst),
-            u=jnp.where(better, u, best.u),
-            v=jnp.where(better, v, best.v),
-        )
-    return Hit(
-        t=jnp.where(best.prim >= 0, best.t, BIG_T),
-        prim=best.prim,
-        inst=best.inst,
-        u=best.u,
-        v=best.v,
+            found = prim >= 0
+            n_obj = _normals_by_prim(scene, prim, u, v)
+
+        # world normal via inverse-transpose (row-vector · W2O linear,
+        # src/shader.rchit:94) — scalar-coefficient math, no gathers
+        n_world = v3.linear_cols(w2o_i, n_obj)
+
+        better = found & (t < best_t)
+        best_valid = best_valid | better
+        best_mat = jnp.where(better, scene.materials[inst_id], best_mat)
+        best_inst = jnp.where(better, jnp.int32(inst_id), best_inst)
+        best_n = v3.where(better, n_world, best_n)
+        best_u = jnp.where(better, u, best_u)
+        best_v = jnp.where(better, v, best_v)
+        best_t = jnp.where(better, t, best_t)
+
+    return HitWave(
+        t=jnp.where(best_valid, best_t, BIG_T),
+        valid=best_valid,
+        mat=best_mat,
+        n=v3.normalize(best_n),
+        inst=best_inst,
+        u=best_u,
+        v=best_v,
+    )
+
+
+def _normals_by_prim(scene: DeviceScene, prim, u, v):
+    """Barycentric normal interpolation via per-lane gathers from the
+    prim-ordered tables (CPU/fallback paths only — the Pallas kernel
+    interpolates in SMEM)."""
+    p = jnp.maximum(prim, 0)
+    w = 1.0 - u - v
+    return tuple(
+        w * jnp.take(scene.tri_n_soa[c], p, axis=0)
+        + u * jnp.take(scene.tri_n_soa[3 + c], p, axis=0)
+        + v * jnp.take(scene.tri_n_soa[6 + c], p, axis=0)
+        for c in range(3)
     )
 
 
 def any_hit_wave(
     scene: DeviceScene,
     static: SceneStatic,
-    o: jnp.ndarray,     # (P, K, 3)
-    d: jnp.ndarray,
+    o,                  # Vec3 of (P, K)
+    d,                  # Vec3 of (P, K)
     tmin: float,
     tmax: jnp.ndarray,  # (P, K)
 ) -> jnp.ndarray:
-    """Packet-layout occlusion query over all instances."""
-    p, k = o.shape[0], o.shape[1]
+    """Packet-layout occlusion query over all instances (component-SoA)."""
+    from raytpu.ops import vec3 as v3
+
+    p, k = o[0].shape
     occluded = jnp.zeros((p, k), bool)
     for inst_id, mesh_id in static.traversal_list:
         w2o_i = scene.w2o[inst_id]
-        lin = w2o_i[:, :3]
-        o_obj = jnp.einsum("pki,ji->pkj", o, lin) + w2o_i[:, 3]
-        d_obj = jnp.einsum("pki,ji->pkj", d, lin)
+        o_obj = v3.affine_rows(w2o_i, o)
+        d_obj = v3.linear_rows(w2o_i, d)
         lane_tmax = jnp.where(occluded, 0.0, tmax)
         if static.has_bvh and _use_pallas(static, mesh_id, k):
             from raytpu.ops.traverse_pallas import pallas_anyhit
@@ -195,8 +252,8 @@ def any_hit_wave(
         else:
             start, count = static.mesh_prim_ranges[mesh_id]
             occ = brute_anyhit(
-                o_obj.reshape(-1, 3),
-                d_obj.reshape(-1, 3),
+                v3.to_array(o_obj).reshape(-1, 3),
+                v3.to_array(d_obj).reshape(-1, 3),
                 scene.tri_v0[start : start + count],
                 scene.tri_e1[start : start + count],
                 scene.tri_e2[start : start + count],

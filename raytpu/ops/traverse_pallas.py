@@ -49,8 +49,10 @@ SMEM_BUDGET = 768 * 1024
 
 
 def smem_bytes(num_nodes: int, num_tris: int) -> int:
-    # 6 aabb f32 + 3 meta i32 per node; 9 tri-corner f32 per (padded) tri
-    return (6 + 3) * num_nodes * 4 + 9 * (num_tris + LEAF_UNROLL) * 4
+    # 6 aabb f32 + 3 meta i32 per node; 9 corner + 9 normal f32 per
+    # (padded) tri — normals live in SMEM so the kernel can interpolate
+    # shading normals at hit time (no post-trace per-lane gathers)
+    return (6 + 3) * num_nodes * 4 + 18 * (num_tris + LEAF_UNROLL) * 4
 
 
 def fits_smem(num_nodes: int, num_tris: int) -> bool:
@@ -109,17 +111,21 @@ def _mt(o, d, T, s, tmin, best_t):
 def _closest_kernel(*refs, end: int, tmin: float):
     """One grid step = one packet's full closest-hit traversal.
 
-    refs: [bx0..bx5, first, count, miss, t0..t8, rays, tmax,
-           t_out, slot_out, u_out, v_out]
+    refs: [bx0..bx5, first, count, miss, t0..t8, n0..n8, live,
+           ox..dz, tmax, t_out, slot_out, u_out, v_out, nx_out, ny_out, nz_out]
     """
     bxs = refs[0:6]
     first_ref, count_ref, miss_ref = refs[6], refs[7], refs[8]
     T = refs[9:18]
-    live_ref, rays_ref, tmax_ref = refs[18], refs[19], refs[20]
-    t_out, slot_out, u_out, v_out = refs[21], refs[22], refs[23], refs[24]
+    N = refs[18:27]                 # corner normal tables (SMEM scalars)
+    live_ref = refs[27]
+    ray_refs = refs[28:34]          # ox oy oz dx dy dz, each (1, 8, 128)
+    tmax_ref = refs[34]
+    (t_out, slot_out, u_out, v_out,
+     nx_out, ny_out, nz_out) = refs[35:42]
 
-    o = [rays_ref[0, c] for c in range(3)]        # each (8, 128)
-    d = [rays_ref[0, 3 + c] for c in range(3)]
+    o = [ray_refs[c][0] for c in range(3)]        # each (8, 128)
+    d = [ray_refs[3 + c][0] for c in range(3)]
     d_inv = [
         jnp.where(x != 0.0, 1.0 / x, jnp.where(x >= 0, jnp.inf, -jnp.inf))
         for x in d
@@ -129,13 +135,14 @@ def _closest_kernel(*refs, end: int, tmin: float):
     # CRITICAL: node0 must be a *pure scalar* (SMEM load), never derived
     # from vector data — a vector-derived init forces Mosaic to treat the
     # whole while state as vector-dependent (measured 100x slowdown).
-    node0 = jnp.where(live_ref[0] != 0, jnp.int32(0), jnp.int32(end))
+    node0 = jnp.where(live_ref[pl.program_id(0)] != 0,
+                      jnp.int32(0), jnp.int32(end))
 
     def cond(state):
         return state[0] != end
 
     def body(state):
-        node, best_t, best_slot, best_u, best_v = state
+        node, best_t, best_slot, best_u, best_v, best_n = state
         first = first_ref[node]
         is_leaf = first >= 0
 
@@ -143,41 +150,59 @@ def _closest_kernel(*refs, end: int, tmin: float):
         any_box = jnp.any(box_hit)
 
         def leaf_case(carry):
-            bt, bs, bu, bv = carry
+            bt, bs, bu, bv, bn = carry
             count = count_ref[node]
             for k in range(LEAF_UNROLL):
-                t, u, v, hit = _mt(o, d, T, first + k, tmin, bt)
+                sidx = first + k
+                t, u, v, hit = _mt(o, d, T, sidx, tmin, bt)
                 hit = hit & (k < count)
-                bs = jnp.where(hit, first + k, bs)
+                # interpolate the shading normal HERE, from SMEM scalars —
+                # kills the 9 per-lane gathers the shader ABI otherwise
+                # needs after the trace (src/shader.rchit:66-91)
+                w = 1.0 - u - v
+                bn = tuple(
+                    jnp.where(
+                        hit,
+                        w * N[c][sidx] + u * N[3 + c][sidx] + v * N[6 + c][sidx],
+                        bn[c],
+                    )
+                    for c in range(3)
+                )
+                bs = jnp.where(hit, sidx, bs)
                 bu = jnp.where(hit, u, bu)
                 bv = jnp.where(hit, v, bv)
                 bt = jnp.where(hit, t, bt)
-            return bt, bs, bu, bv
+            return bt, bs, bu, bv, bn
 
-        best_t, best_slot, best_u, best_v = jax.lax.cond(
+        best_t, best_slot, best_u, best_v, best_n = jax.lax.cond(
             is_leaf & any_box,
             leaf_case,
             lambda c: c,
-            (best_t, best_slot, best_u, best_v),
+            (best_t, best_slot, best_u, best_v, best_n),
         )
 
         nxt = jnp.where(is_leaf | ~any_box, miss_ref[node], node + 1)
-        return nxt, best_t, best_slot, best_u, best_v
+        return nxt, best_t, best_slot, best_u, best_v, best_n
 
+    zeros = jnp.zeros((K_SUB, K_LANE), jnp.float32)
     init = (
         node0,
         tmax,
         jnp.full((K_SUB, K_LANE), -1, jnp.int32),
-        jnp.zeros((K_SUB, K_LANE), jnp.float32),
-        jnp.zeros((K_SUB, K_LANE), jnp.float32),
+        zeros,
+        zeros,
+        (zeros, zeros, zeros + 1.0),
     )
-    node, best_t, best_slot, best_u, best_v = jax.lax.while_loop(
+    node, best_t, best_slot, best_u, best_v, best_n = jax.lax.while_loop(
         cond, body, init
     )
     t_out[0] = jnp.where(best_slot >= 0, best_t, jnp.float32(BIG_T))
     slot_out[0] = best_slot
     u_out[0] = best_u
     v_out[0] = best_v
+    nx_out[0] = best_n[0]
+    ny_out[0] = best_n[1]
+    nz_out[0] = best_n[2]
 
 
 def _anyhit_kernel(*refs, end: int, tmin: float):
@@ -185,11 +210,13 @@ def _anyhit_kernel(*refs, end: int, tmin: float):
     bxs = refs[0:6]
     first_ref, count_ref, miss_ref = refs[6], refs[7], refs[8]
     T = refs[9:18]
-    live_ref, rays_ref, tmax_ref = refs[18], refs[19], refs[20]
-    occ_out = refs[21]
+    live_ref = refs[18]
+    ray_refs = refs[19:25]
+    tmax_ref = refs[25]
+    occ_out = refs[26]  # (anyhit needs no normal tables)
 
-    o = [rays_ref[0, c] for c in range(3)]
-    d = [rays_ref[0, 3 + c] for c in range(3)]
+    o = [ray_refs[c][0] for c in range(3)]
+    d = [ray_refs[3 + c][0] for c in range(3)]
     d_inv = [
         jnp.where(x != 0.0, 1.0 / x, jnp.where(x >= 0, jnp.inf, -jnp.inf))
         for x in d
@@ -197,8 +224,11 @@ def _anyhit_kernel(*refs, end: int, tmin: float):
     tmax = tmax_ref[0]
     live0 = tmax > tmin
     # scalar-clean init (see _closest_kernel)
-    node0 = jnp.where(live_ref[0] != 0, jnp.int32(0), jnp.int32(end))
+    node0 = jnp.where(live_ref[pl.program_id(0)] != 0,
+                      jnp.int32(0), jnp.int32(end))
 
+    # occlusion state is int32, not bool: Mosaic mis-lowers bool vectors
+    # carried through lax.cond branches (mask-packing layout mismatch)
     def cond(state):
         return state[0] != end
 
@@ -207,7 +237,7 @@ def _anyhit_kernel(*refs, end: int, tmin: float):
         first = first_ref[node]
         is_leaf = first >= 0
 
-        pending_t = jnp.where(live0 & ~occluded, tmax, 0.0)
+        pending_t = jnp.where(live0 & (occluded == 0), tmax, 0.0)
         box_hit = _slab(o, d_inv, bxs, node, tmin, pending_t)
         any_box = jnp.any(box_hit)
 
@@ -215,19 +245,19 @@ def _anyhit_kernel(*refs, end: int, tmin: float):
             count = count_ref[node]
             for k in range(LEAF_UNROLL):
                 _, _, _, hit = _mt(o, d, T, first + k, tmin, pending_t)
-                occ = occ | (hit & (k < count))
+                occ = occ | (hit & (k < count)).astype(jnp.int32)
             return occ
 
         occluded = jax.lax.cond(is_leaf & any_box, leaf_case,
                                 lambda c: c, occluded)
 
-        done = ~jnp.any(live0 & ~occluded)
+        done = ~jnp.any(live0 & (occluded == 0))
         nxt = jnp.where(is_leaf | ~any_box, miss_ref[node], node + 1)
         nxt = jnp.where(done, jnp.int32(end), nxt)
         return nxt, occluded
 
     _, occluded = jax.lax.while_loop(
-        cond, body, (node0, jnp.zeros((K_SUB, K_LANE), bool))
+        cond, body, (node0, jnp.zeros((K_SUB, K_LANE), jnp.int32))
     )
     occ_out[0] = occluded
 
@@ -236,12 +266,14 @@ def _anyhit_kernel(*refs, end: int, tmin: float):
 # host-side wrappers
 # ---------------------------------------------------------------------------
 
-def _pack_rays(o: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    """(P, K, 3) ×2 → (P, 6, 8, 128) SoA register layout."""
-    p = o.shape[0]
-    soa = jnp.concatenate([o, d], axis=-1)                 # (P, K, 6)
-    soa = soa.transpose(0, 2, 1)                           # (P, 6, K)
-    return soa.reshape(p, 6, K_SUB, K_LANE)
+def _ray_regs(o, d):
+    """Vec3 components (P, K) → six (P, 8, 128) register views.
+
+    Pure reshapes of contiguous minor dims — NO relayout (the reason the
+    whole wave path is component-SoA; see ops/vec3.py).
+    """
+    p = o[0].shape[0]
+    return [x.reshape(p, K_SUB, K_LANE) for x in (*o, *d)]
 
 
 _SMEM = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -283,15 +315,21 @@ def _mesh_tables(scene, static, mesh_id: int):
         + [te1[:, c] for c in range(3)]
         + [te2[:, c] for c in range(3)]
     )
-    return boxes, meta, tris
+    # corner normal tables (BVH-slot order), padded like the tris
+    def t1slice(row):
+        x = jax.lax.slice_in_dim(row, tri_base, tri_base + tri_count, axis=0)
+        return jnp.concatenate([x, jnp.zeros((LEAF_UNROLL,), x.dtype)], axis=0)
+
+    normals = [t1slice(scene.bvh_tri_n_soa[c]) for c in range(9)]
+    return boxes, meta, tris, normals
 
 
 def pallas_closest(
     scene,         # DeviceScene
     static,        # SceneStatic
     mesh_id: int,
-    o: jnp.ndarray,     # (P, K, 3) object-space
-    d: jnp.ndarray,     # (P, K, 3)
+    o,                  # Vec3 of (P, K): object-space origins
+    d,                  # Vec3 of (P, K)
     tmin: float,
     tmax: jnp.ndarray,  # (P, K)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -299,11 +337,11 @@ def pallas_closest(
     ``ops.packet.packet_closest``."""
     node_base, node_count = static.mesh_node_ranges[mesh_id]
     tri_base, _ = static.mesh_bvh_tri_ranges[mesh_id]
-    p, k = o.shape[0], o.shape[1]
+    p, k = o[0].shape
     assert k == PACKET_K, f"pallas path needs K={PACKET_K}, got {k}"
 
-    boxes, meta, tris = _mesh_tables(scene, static, mesh_id)
-    rays = _pack_rays(o, d)
+    boxes, meta, tris, normals = _mesh_tables(scene, static, mesh_id)
+    rays = _ray_regs(o, d)
     tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
     live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)   # (P,)
     tmax_r = tmax_pk.reshape(p, K_SUB, K_LANE)
@@ -312,49 +350,58 @@ def pallas_closest(
         _closest_kernel, end=node_count, tmin=float(tmin)
     )
     blk = lambda i: (i, 0, 0)  # noqa: E731
-    t, slot, u, v = pl.pallas_call(
+    ray_spec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
+    f32_out = jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32)
+    t, slot, u, v, nx, ny, nz = pl.pallas_call(
         kernel,
         grid=(p,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_SMEM] * 18 + [
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 6, K_SUB, K_LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec((1, K_SUB, K_LANE), blk,
-                                memory_space=pltpu.VMEM)] * 4,
+        in_specs=[_SMEM] * 27 + [
+            _SMEM,  # live flags: full array, indexed by pl.program_id
+        ] + [ray_spec] * 6 + [ray_spec],
+        out_specs=[out_spec] * 7,
         out_shape=[
-            jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32),
+            f32_out,
             jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
-            jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32),
-            jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32),
+            f32_out, f32_out, f32_out, f32_out, f32_out,
         ],
-    )(*boxes, *meta, *tris, live, rays, tmax_r)
+    )(*boxes, *meta, *tris, *normals, live, *rays, tmax_r)
 
     t = t.reshape(p, k)
     slot = slot.reshape(p, k)
     u = u.reshape(p, k)
     v = v.reshape(p, k)
+    n_obj = (nx.reshape(p, k), ny.reshape(p, k), nz.reshape(p, k))
     hit = slot >= 0
-    prim = jnp.where(
-        hit,
+    return (
+        jnp.where(hit, t, jnp.float32(BIG_T)),
+        slot,          # BVH-slot id (mesh-local); see slot_to_prim
+        u, v, n_obj,
+    )
+
+
+def slot_to_prim(scene, static, mesh_id: int, slot: jnp.ndarray) -> jnp.ndarray:
+    """Map BVH-slot hits to GLOBAL primitive ids (one per-lane gather —
+    off the hot path; shading uses the kernel-interpolated normals)."""
+    tri_base, _ = static.mesh_bvh_tri_ranges[mesh_id]
+    return jnp.where(
+        slot >= 0,
         jnp.take(scene.bvh_tri_prim, tri_base + jnp.maximum(slot, 0), axis=0),
         jnp.int32(-1),
     )
-    return jnp.where(hit, t, jnp.float32(BIG_T)), prim, u, v
 
 
 def pallas_anyhit(
     scene, static, mesh_id: int,
-    o: jnp.ndarray, d: jnp.ndarray, tmin: float, tmax: jnp.ndarray,
+    o, d, tmin: float, tmax: jnp.ndarray,
 ) -> jnp.ndarray:
     node_base, node_count = static.mesh_node_ranges[mesh_id]
-    p, k = o.shape[0], o.shape[1]
+    p, k = o[0].shape
     assert k == PACKET_K, f"pallas path needs K={PACKET_K}, got {k}"
 
-    boxes, meta, tris = _mesh_tables(scene, static, mesh_id)
-    rays = _pack_rays(o, d)
+    boxes, meta, tris, _normals = _mesh_tables(scene, static, mesh_id)
+    rays = _ray_regs(o, d)
     tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
     live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)
     tmax_r = tmax_pk.reshape(p, K_SUB, K_LANE)
@@ -363,18 +410,16 @@ def pallas_anyhit(
         _anyhit_kernel, end=node_count, tmin=float(tmin)
     )
     blk = lambda i: (i, 0, 0)  # noqa: E731
+    ray_spec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(p,),
         interpret=jax.default_backend() != "tpu",
         in_specs=[_SMEM] * 18 + [
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 6, K_SUB, K_LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM),
-        ],
+            _SMEM,  # live flags: full array, indexed by pl.program_id
+        ] + [ray_spec] * 6 + [ray_spec],
         out_specs=pl.BlockSpec((1, K_SUB, K_LANE), blk,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.bool_),
-    )(*boxes, *meta, *tris, live, rays, tmax_r)
-    return occ.reshape(p, k)
+        out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
+    )(*boxes, *meta, *tris, live, *rays, tmax_r)
+    return occ.reshape(p, k) != 0
