@@ -22,9 +22,10 @@ import numpy as np
 
 from raytpu.ops.traverse_pallas import fits_smem
 
-# triangles per chunk: nodes ≈ 0.65·T for leaf_size 4 → comfortably inside
-# the SMEM budget with margin for skewed SAH trees
-CHUNK_TRIS = 8192
+# triangles per chunk: nodes ≈ 0.65·T for leaf_size 4; tables now carry 18
+# f32 per triangle (corners + shading normals) → keep a safety margin under
+# the ~768KB SMEM budget
+CHUNK_TRIS = 6144
 
 
 def morton_codes(centroids: np.ndarray) -> np.ndarray:
@@ -69,6 +70,7 @@ def chunk_order(
 
 
 def needs_chunking(num_tris: int, leaf_size: int = 4) -> bool:
-    """Heuristic pre-check: would a monolithic BVH exceed SMEM residency?"""
+    """Heuristic pre-check: would a monolithic BVH exceed SMEM residency?
+    Uses a conservative node estimate (real SAH trees make ~0.65·T nodes)."""
     est_nodes = max(1, (2 * num_tris) // leaf_size)
     return not fits_smem(est_nodes, num_tris)

@@ -136,6 +136,39 @@ def closest_hit_wave(
     from raytpu.ops import vec3 as v3
 
     p, k = o[0].shape
+
+    # fast path: every traversal mesh Pallas-resident → chained kernels with
+    # in-kernel transform + in-place merge (zero XLA glue per chunk)
+    if _all_pallas(static, k):
+        from raytpu.ops.traverse_pallas import (
+            K_LANE,
+            K_SUB,
+            make_trace_state,
+            pallas_closest_chain,
+        )
+
+        tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+        live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)
+        state = make_trace_state(tmax_pk)
+        for inst_id, mesh_id in static.traversal_list:
+            state = pallas_closest_chain(
+                scene, static, mesh_id, inst_id, o, d, tmin, live, state
+            )
+        valid = state.valid.reshape(p, k) != 0
+        n = v3.normalize(
+            (state.nx.reshape(p, k), state.ny.reshape(p, k),
+             state.nz.reshape(p, k))
+        )
+        return HitWave(
+            t=jnp.where(valid, state.t.reshape(p, k), BIG_T),
+            valid=valid,
+            mat=state.mat.reshape(p, k),
+            n=n,
+            inst=state.inst.reshape(p, k),
+            u=state.u.reshape(p, k),
+            v=state.v.reshape(p, k),
+        )
+
     zero = jnp.zeros((p, k), jnp.float32)
     best_t = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
     best_valid = jnp.zeros((p, k), bool)
@@ -231,6 +264,25 @@ def any_hit_wave(
     from raytpu.ops import vec3 as v3
 
     p, k = o[0].shape
+
+    if _all_pallas(static, k):
+        from raytpu.ops.traverse_pallas import (
+            K_LANE,
+            K_SUB,
+            pallas_anyhit_chain,
+        )
+
+        tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+        live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)
+        tmax_reg = tmax_pk.reshape(p, K_SUB, K_LANE)
+        occ = jnp.zeros((p, K_SUB, K_LANE), jnp.int32)
+        for inst_id, mesh_id in static.traversal_list:
+            occ = pallas_anyhit_chain(
+                scene, static, mesh_id, inst_id, o, d, tmin, live,
+                tmax_reg, occ,
+            )
+        return occ.reshape(p, k) != 0
+
     occluded = jnp.zeros((p, k), bool)
     for inst_id, mesh_id in static.traversal_list:
         w2o_i = scene.w2o[inst_id]
@@ -262,6 +314,23 @@ def any_hit_wave(
             ).reshape(p, k)
         occluded = occluded | occ
     return occluded
+
+
+def _all_pallas(static: SceneStatic, k: int) -> bool:
+    """True when every traversal mesh can run the Pallas chained path."""
+    from raytpu.ops.traverse_pallas import PACKET_K
+
+    if static.traversal == "pallas":
+        return bool(static.mesh_pallas_ok) or True
+    if static.traversal != "auto" or not static.has_bvh:
+        return False
+    if k != PACKET_K or not static.mesh_pallas_ok:
+        return False
+    if not all(static.mesh_pallas_ok):
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _use_pallas(static: SceneStatic, mesh_id: int, k: int) -> bool:

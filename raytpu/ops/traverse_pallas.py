@@ -32,7 +32,7 @@ correctness exact.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -108,21 +108,26 @@ def _mt(o, d, T, s, tmin, best_t):
     return t, u, v, hit
 
 
-def _closest_kernel(*refs, end: int, tmin: float):
+def _closest_kernel(*refs, tmin: float):
     """One grid step = one packet's full closest-hit traversal.
 
-    refs: [bx0..bx5, first, count, miss, t0..t8, n0..n8, live,
+    refs: [end, bx0..bx5, first, count, miss, t0..t8, n0..n8, live,
            ox..dz, tmax, t_out, slot_out, u_out, v_out, nx_out, ny_out, nz_out]
+
+    ``end`` (the node count) is a runtime SMEM scalar so ONE compiled kernel
+    serves every BVH chunk of a scene (tables are padded to a uniform size).
     """
-    bxs = refs[0:6]
-    first_ref, count_ref, miss_ref = refs[6], refs[7], refs[8]
-    T = refs[9:18]
-    N = refs[18:27]                 # corner normal tables (SMEM scalars)
-    live_ref = refs[27]
-    ray_refs = refs[28:34]          # ox oy oz dx dy dz, each (1, 8, 128)
-    tmax_ref = refs[34]
+    end_ref = refs[0]
+    bxs = refs[1:7]
+    first_ref, count_ref, miss_ref = refs[7], refs[8], refs[9]
+    T = refs[10:19]
+    N = refs[19:28]                 # corner normal tables (SMEM scalars)
+    live_ref = refs[28]
+    ray_refs = refs[29:35]          # ox oy oz dx dy dz, each (1, 8, 128)
+    tmax_ref = refs[35]
     (t_out, slot_out, u_out, v_out,
-     nx_out, ny_out, nz_out) = refs[35:42]
+     nx_out, ny_out, nz_out) = refs[36:43]
+    end = end_ref[0]
 
     o = [ray_refs[c][0] for c in range(3)]        # each (8, 128)
     d = [ray_refs[3 + c][0] for c in range(3)]
@@ -205,15 +210,17 @@ def _closest_kernel(*refs, end: int, tmin: float):
     nz_out[0] = best_n[2]
 
 
-def _anyhit_kernel(*refs, end: int, tmin: float):
+def _anyhit_kernel(*refs, tmin: float):
     """One grid step = one packet's occlusion traversal with early exit."""
-    bxs = refs[0:6]
-    first_ref, count_ref, miss_ref = refs[6], refs[7], refs[8]
-    T = refs[9:18]
-    live_ref = refs[18]
-    ray_refs = refs[19:25]
-    tmax_ref = refs[25]
-    occ_out = refs[26]  # (anyhit needs no normal tables)
+    end_ref = refs[0]
+    bxs = refs[1:7]
+    first_ref, count_ref, miss_ref = refs[7], refs[8], refs[9]
+    T = refs[10:19]
+    live_ref = refs[19]
+    ray_refs = refs[20:26]
+    tmax_ref = refs[26]
+    occ_out = refs[27]  # (anyhit needs no normal tables)
+    end = end_ref[0]
 
     o = [ray_refs[c][0] for c in range(3)]
     d = [ray_refs[3 + c][0] for c in range(3)]
@@ -279,49 +286,59 @@ def _ray_regs(o, d):
 _SMEM = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
+def _uniform_sizes(static):
+    """Per-scene uniform table sizes: the max node/tri counts across all
+    traversal meshes. Padding every chunk's tables to these sizes means a
+    SINGLE compiled kernel serves every chunk (``end`` is a runtime scalar)."""
+    max_nodes = max(n for _, n in static.mesh_node_ranges)
+    max_tris = max(t for _, t in static.mesh_bvh_tri_ranges)
+    return max_nodes, max_tris
+
+
 def _mesh_tables(scene, static, mesh_id: int):
-    """Slice one mesh's BVH into flat 1-D SMEM table arrays.
+    """Slice one mesh's BVH into flat 1-D SMEM table arrays, padded to the
+    scene's uniform sizes.
 
     Static slicing (mesh ranges are static) lets XLA fuse these into cheap
     per-compilation transforms — no per-frame host repacking.
     """
     node_base, node_count = static.mesh_node_ranges[mesh_id]
     tri_base, tri_count = static.mesh_bvh_tri_ranges[mesh_id]
+    pad_nodes, pad_tris = _uniform_sizes(static)
 
-    def nslice(arr):
-        return jax.lax.slice_in_dim(arr, node_base, node_base + node_count,
-                                    axis=0)
+    def nslice(col):
+        x = jax.lax.slice_in_dim(col, node_base, node_base + node_count,
+                                 axis=0)
+        if node_count < pad_nodes:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad_nodes - node_count,), x.dtype)], axis=0
+            )
+        return x
 
-    def tslice(arr):
-        x = jax.lax.slice_in_dim(arr, tri_base, tri_base + tri_count, axis=0)
-        # pad: leaf blocks [first, first+LEAF_UNROLL) always in-bounds
+    def t1slice(col):
+        x = jax.lax.slice_in_dim(col, tri_base, tri_base + tri_count, axis=0)
+        # +LEAF_UNROLL: leaf blocks [first, first+LEAF_UNROLL) stay in-bounds
         return jnp.concatenate(
-            [x, jnp.zeros((LEAF_UNROLL, 3), x.dtype)], axis=0
+            [x, jnp.zeros((pad_tris - tri_count + LEAF_UNROLL,), x.dtype)],
+            axis=0,
         )
 
-    bmin = nslice(scene.bvh_aabb_min)
-    bmax = nslice(scene.bvh_aabb_max)
-    boxes = [bmin[:, c] for c in range(3)] + [bmax[:, c] for c in range(3)]
+    boxes = [nslice(scene.bvh_aabb_min[:, c]) for c in range(3)] + [
+        nslice(scene.bvh_aabb_max[:, c]) for c in range(3)
+    ]
     meta = [
         nslice(scene.bvh_tri_first),
         nslice(scene.bvh_tri_count),
         nslice(scene.bvh_miss),
     ]
-    tv0 = tslice(scene.bvh_tri_v0)
-    te1 = tslice(scene.bvh_tri_e1)
-    te2 = tslice(scene.bvh_tri_e2)
     tris = (
-        [tv0[:, c] for c in range(3)]
-        + [te1[:, c] for c in range(3)]
-        + [te2[:, c] for c in range(3)]
+        [t1slice(scene.bvh_tri_v0[:, c]) for c in range(3)]
+        + [t1slice(scene.bvh_tri_e1[:, c]) for c in range(3)]
+        + [t1slice(scene.bvh_tri_e2[:, c]) for c in range(3)]
     )
-    # corner normal tables (BVH-slot order), padded like the tris
-    def t1slice(row):
-        x = jax.lax.slice_in_dim(row, tri_base, tri_base + tri_count, axis=0)
-        return jnp.concatenate([x, jnp.zeros((LEAF_UNROLL,), x.dtype)], axis=0)
-
     normals = [t1slice(scene.bvh_tri_n_soa[c]) for c in range(9)]
-    return boxes, meta, tris, normals
+    end = jnp.asarray([node_count], jnp.int32)
+    return end, boxes, meta, tris, normals
 
 
 def pallas_closest(
@@ -340,15 +357,13 @@ def pallas_closest(
     p, k = o[0].shape
     assert k == PACKET_K, f"pallas path needs K={PACKET_K}, got {k}"
 
-    boxes, meta, tris, normals = _mesh_tables(scene, static, mesh_id)
+    end, boxes, meta, tris, normals = _mesh_tables(scene, static, mesh_id)
     rays = _ray_regs(o, d)
     tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
     live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)   # (P,)
     tmax_r = tmax_pk.reshape(p, K_SUB, K_LANE)
 
-    kernel = functools.partial(
-        _closest_kernel, end=node_count, tmin=float(tmin)
-    )
+    kernel = functools.partial(_closest_kernel, tmin=float(tmin))
     blk = lambda i: (i, 0, 0)  # noqa: E731
     ray_spec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
@@ -357,7 +372,7 @@ def pallas_closest(
         kernel,
         grid=(p,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_SMEM] * 27 + [
+        in_specs=[_SMEM] * 28 + [
             _SMEM,  # live flags: full array, indexed by pl.program_id
         ] + [ray_spec] * 6 + [ray_spec],
         out_specs=[out_spec] * 7,
@@ -366,7 +381,7 @@ def pallas_closest(
             jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
             f32_out, f32_out, f32_out, f32_out, f32_out,
         ],
-    )(*boxes, *meta, *tris, *normals, live, *rays, tmax_r)
+    )(end, *boxes, *meta, *tris, *normals, live, *rays, tmax_r)
 
     t = t.reshape(p, k)
     slot = slot.reshape(p, k)
@@ -400,26 +415,315 @@ def pallas_anyhit(
     p, k = o[0].shape
     assert k == PACKET_K, f"pallas path needs K={PACKET_K}, got {k}"
 
-    boxes, meta, tris, _normals = _mesh_tables(scene, static, mesh_id)
+    end, boxes, meta, tris, _normals = _mesh_tables(scene, static, mesh_id)
     rays = _ray_regs(o, d)
     tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
     live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)
     tmax_r = tmax_pk.reshape(p, K_SUB, K_LANE)
 
-    kernel = functools.partial(
-        _anyhit_kernel, end=node_count, tmin=float(tmin)
-    )
+    kernel = functools.partial(_anyhit_kernel, tmin=float(tmin))
     blk = lambda i: (i, 0, 0)  # noqa: E731
     ray_spec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         kernel,
         grid=(p,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_SMEM] * 18 + [
+        in_specs=[_SMEM] * 19 + [
             _SMEM,  # live flags: full array, indexed by pl.program_id
         ] + [ray_spec] * 6 + [ray_spec],
         out_specs=pl.BlockSpec((1, K_SUB, K_LANE), blk,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
-    )(*boxes, *meta, *tris, live, *rays, tmax_r)
+    )(end, *boxes, *meta, *tris, live, *rays, tmax_r)
     return occ.reshape(p, k) != 0
+
+
+# ===========================================================================
+# v3 "chained" kernels: in-kernel instance transform + in-place best-hit
+# merge via aliased state buffers.
+#
+# With chunked BLAS a frame issues (chunks × bounces) trace calls; doing the
+# ray transform and hit merging in XLA costs ~10 elementwise full-wave ops
+# per chunk (measured 279 ms/frame of fusion glue on config4). Here each
+# chunk is ONE pallas_call: world rays go in once, the world→object
+# transform happens in-register from 12 SMEM scalars, and the running best
+# state (t/valid/mat/inst/normal/uv) is updated in place through
+# ``input_output_aliases`` — chunks chain with zero XLA-side work. Earlier
+# chunks' hits also prune later chunks' traversals (state.t is the window).
+# ===========================================================================
+
+class TraceState(NamedTuple):
+    """Aliased best-hit state threaded through per-chunk kernel calls.
+
+    All arrays are kernel register layout (P, 8, 128); ``valid``/``mat``/
+    ``inst`` are int32 (Mosaic mis-lowers bool vectors through lax.cond).
+    ``n*`` are WORLD-space (unnormalized) shading normals."""
+
+    t: jnp.ndarray
+    valid: jnp.ndarray
+    mat: jnp.ndarray
+    inst: jnp.ndarray
+    nx: jnp.ndarray
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+
+def make_trace_state(lane_tmax: jnp.ndarray) -> TraceState:
+    """Fresh per-bounce state; ``lane_tmax`` (P, K) doubles as the per-lane
+    trace window (0 ⇒ inactive lane)."""
+    p, k = lane_tmax.shape
+    t = lane_tmax.reshape(p, K_SUB, K_LANE)
+    zi = jnp.zeros((p, K_SUB, K_LANE), jnp.int32)
+    zf = jnp.zeros((p, K_SUB, K_LANE), jnp.float32)
+    return TraceState(
+        t=t, valid=zi, mat=zi, inst=zi - 1,
+        nx=zf, ny=zf, nz=zf + 1.0, u=zf, v=zf,
+    )
+
+
+def _closest_kernel3(*refs, tmin: float):
+    """One grid step = one packet: world→object transform, traversal,
+    in-place state merge.
+
+    refs: [end, w2o(12), matid, instid, bx0..bx5, first, count, miss,
+           t0..t8, n0..n8, live, ox..dz(world), st_in(9), st_out(9)]
+    """
+    end_ref, w2o_ref, matid_ref, instid_ref = refs[0], refs[1], refs[2], refs[3]
+    bxs = refs[4:10]
+    first_ref, count_ref, miss_ref = refs[10], refs[11], refs[12]
+    T = refs[13:22]
+    N = refs[22:31]
+    live_ref = refs[31]
+    ray_refs = refs[32:38]
+    st_in = refs[38:47]
+    st_out = refs[47:56]
+    end = end_ref[0]
+
+    m = [w2o_ref[i] for i in range(12)]  # row-major 3x4 world→object
+
+    ow = [ray_refs[c][0] for c in range(3)]
+    dw = [ray_refs[3 + c][0] for c in range(3)]
+    # world→object, in registers (t stays world-parameterized)
+    o = [
+        m[0] * ow[0] + m[1] * ow[1] + m[2] * ow[2] + m[3],
+        m[4] * ow[0] + m[5] * ow[1] + m[6] * ow[2] + m[7],
+        m[8] * ow[0] + m[9] * ow[1] + m[10] * ow[2] + m[11],
+    ]
+    d = [
+        m[0] * dw[0] + m[1] * dw[1] + m[2] * dw[2],
+        m[4] * dw[0] + m[5] * dw[1] + m[6] * dw[2],
+        m[8] * dw[0] + m[9] * dw[1] + m[10] * dw[2],
+    ]
+    d_inv = [
+        jnp.where(x != 0.0, 1.0 / x, jnp.where(x >= 0, jnp.inf, -jnp.inf))
+        for x in d
+    ]
+
+    bt0 = st_in[0][0]  # running best t (doubles as the prune window)
+
+    node0 = jnp.where(live_ref[pl.program_id(0)] != 0,
+                      jnp.int32(0), jnp.int32(end))
+
+    def cond(state):
+        return state[0] != end
+
+    def body(state):
+        node, bt, bs, bu, bv, bn = state
+        first = first_ref[node]
+        is_leaf = first >= 0
+
+        box_hit = _slab(o, d_inv, bxs, node, tmin, bt)
+        any_box = jnp.any(box_hit)
+
+        def leaf_case(carry):
+            bt, bs, bu, bv, bn = carry
+            count = count_ref[node]
+            for k in range(LEAF_UNROLL):
+                sidx = first + k
+                t, u, v, hit = _mt(o, d, T, sidx, tmin, bt)
+                hit = hit & (k < count)
+                w = 1.0 - u - v
+                bn = tuple(
+                    jnp.where(
+                        hit,
+                        w * N[c][sidx] + u * N[3 + c][sidx] + v * N[6 + c][sidx],
+                        bn[c],
+                    )
+                    for c in range(3)
+                )
+                bs = jnp.where(hit, sidx, bs)
+                bu = jnp.where(hit, u, bu)
+                bv = jnp.where(hit, v, bv)
+                bt = jnp.where(hit, t, bt)
+            return bt, bs, bu, bv, bn
+
+        bt, bs, bu, bv, bn = jax.lax.cond(
+            is_leaf & any_box, leaf_case, lambda c: c, (bt, bs, bu, bv, bn)
+        )
+        nxt = jnp.where(is_leaf | ~any_box, miss_ref[node], node + 1)
+        return nxt, bt, bs, bu, bv, bn
+
+    zeros = jnp.zeros((K_SUB, K_LANE), jnp.float32)
+    init = (
+        node0, bt0,
+        jnp.full((K_SUB, K_LANE), -1, jnp.int32),
+        zeros, zeros, (zeros, zeros, zeros),
+    )
+    _, bt, bs, bu, bv, bn = jax.lax.while_loop(cond, body, init)
+
+    improved = bs >= 0
+    # object→world normal: row-vector · W2O linear = inverse-transpose
+    # (src/shader.rchit:94), from the same 12 SMEM scalars
+    nwx = m[0] * bn[0] + m[4] * bn[1] + m[8] * bn[2]
+    nwy = m[1] * bn[0] + m[5] * bn[1] + m[9] * bn[2]
+    nwz = m[2] * bn[0] + m[6] * bn[1] + m[10] * bn[2]
+
+    st_out[0][0] = bt
+    st_out[1][0] = jnp.where(improved, 1, st_in[1][0])
+    st_out[2][0] = jnp.where(improved, matid_ref[0], st_in[2][0])
+    st_out[3][0] = jnp.where(improved, instid_ref[0], st_in[3][0])
+    st_out[4][0] = jnp.where(improved, nwx, st_in[4][0])
+    st_out[5][0] = jnp.where(improved, nwy, st_in[5][0])
+    st_out[6][0] = jnp.where(improved, nwz, st_in[6][0])
+    st_out[7][0] = jnp.where(improved, bu, st_in[7][0])
+    st_out[8][0] = jnp.where(improved, bv, st_in[8][0])
+
+
+def pallas_closest_chain(
+    scene, static, mesh_id: int, inst_id: int,
+    o_world, d_world,       # Vec3 of (P, K) world-space rays
+    tmin: float,
+    live: jnp.ndarray,      # (P,) int32 per-packet liveness (per bounce)
+    state: TraceState,
+) -> TraceState:
+    """One chunk's closest-hit, merged in place into ``state``."""
+    p, k = o_world[0].shape
+    assert k == PACKET_K
+
+    end, boxes, meta, tris, normals = _mesh_tables(scene, static, mesh_id)
+    w2o12 = scene.w2o[inst_id].reshape(12)
+    matid = scene.materials[inst_id].reshape(1)
+    instid = jnp.asarray([inst_id], jnp.int32)
+    rays = _ray_regs(o_world, d_world)
+
+    kernel = functools.partial(_closest_kernel3, tmin=float(tmin))
+    blk = lambda i: (i, 0, 0)  # noqa: E731
+    vspec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
+    f32_out = jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32)
+    i32_out = jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32)
+
+    n_inputs_before_state = 4 + 18 + 9 + 1 + 6  # end/w2o/mat/inst + tables + live + rays
+    aliases = {n_inputs_before_state + i: i for i in range(9)}
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[_SMEM] * 4 + [_SMEM] * 27 + [_SMEM] + [vspec] * 6
+        + [vspec] * 9,
+        out_specs=[vspec] * 9,
+        out_shape=[f32_out, i32_out, i32_out, i32_out,
+                   f32_out, f32_out, f32_out, f32_out, f32_out],
+        input_output_aliases=aliases,
+    )(end, w2o12, matid, instid, *boxes, *meta, *tris, *normals, live,
+      *rays, *state)
+    return TraceState(*out)
+
+
+def _anyhit_kernel3(*refs, tmin: float):
+    """Chained occlusion: refs = [end, w2o(12), bx.., meta.., t0..t8, live,
+    ox..dz(world), tmax, occ_in, occ_out]."""
+    end_ref, w2o_ref = refs[0], refs[1]
+    bxs = refs[2:8]
+    first_ref, count_ref, miss_ref = refs[8], refs[9], refs[10]
+    T = refs[11:20]
+    live_ref = refs[20]
+    ray_refs = refs[21:27]
+    tmax_ref = refs[27]
+    occ_in = refs[28]
+    occ_out = refs[29]
+    end = end_ref[0]
+
+    m = [w2o_ref[i] for i in range(12)]
+    ow = [ray_refs[c][0] for c in range(3)]
+    dw = [ray_refs[3 + c][0] for c in range(3)]
+    o = [
+        m[0] * ow[0] + m[1] * ow[1] + m[2] * ow[2] + m[3],
+        m[4] * ow[0] + m[5] * ow[1] + m[6] * ow[2] + m[7],
+        m[8] * ow[0] + m[9] * ow[1] + m[10] * ow[2] + m[11],
+    ]
+    d = [
+        m[0] * dw[0] + m[1] * dw[1] + m[2] * dw[2],
+        m[4] * dw[0] + m[5] * dw[1] + m[6] * dw[2],
+        m[8] * dw[0] + m[9] * dw[1] + m[10] * dw[2],
+    ]
+    d_inv = [
+        jnp.where(x != 0.0, 1.0 / x, jnp.where(x >= 0, jnp.inf, -jnp.inf))
+        for x in d
+    ]
+    tmax = tmax_ref[0]
+    occ0 = occ_in[0]
+    live0 = tmax > tmin
+
+    node0 = jnp.where(live_ref[pl.program_id(0)] != 0,
+                      jnp.int32(0), jnp.int32(end))
+
+    def cond(state):
+        return state[0] != end
+
+    def body(state):
+        node, occluded = state
+        first = first_ref[node]
+        is_leaf = first >= 0
+
+        pending_t = jnp.where(live0 & (occluded == 0), tmax, 0.0)
+        box_hit = _slab(o, d_inv, bxs, node, tmin, pending_t)
+        any_box = jnp.any(box_hit)
+
+        def leaf_case(occ):
+            count = count_ref[node]
+            for k in range(LEAF_UNROLL):
+                _, _, _, hit = _mt(o, d, T, first + k, tmin, pending_t)
+                occ = occ | (hit & (k < count)).astype(jnp.int32)
+            return occ
+
+        occluded = jax.lax.cond(is_leaf & any_box, leaf_case,
+                                lambda c: c, occluded)
+        done = ~jnp.any(live0 & (occluded == 0))
+        nxt = jnp.where(is_leaf | ~any_box, miss_ref[node], node + 1)
+        nxt = jnp.where(done, jnp.int32(end), nxt)
+        return nxt, occluded
+
+    _, occluded = jax.lax.while_loop(cond, body, (node0, occ0))
+    occ_out[0] = occluded
+
+
+def pallas_anyhit_chain(
+    scene, static, mesh_id: int, inst_id: int,
+    o_world, d_world, tmin: float,
+    live: jnp.ndarray,       # (P,) int32
+    tmax_reg: jnp.ndarray,   # (P, 8, 128) per-lane shadow window
+    occ: jnp.ndarray,        # (P, 8, 128) int32, aliased in/out
+) -> jnp.ndarray:
+    p = o_world[0].shape[0]
+    end, boxes, meta, tris, _normals = _mesh_tables(scene, static, mesh_id)
+    w2o12 = scene.w2o[inst_id].reshape(12)
+    rays = _ray_regs(o_world, d_world)
+
+    kernel = functools.partial(_anyhit_kernel3, tmin=float(tmin))
+    blk = lambda i: (i, 0, 0)  # noqa: E731
+    vspec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
+    n_before = 2 + 18 + 1 + 6 + 1  # end/w2o + tables + live + rays + tmax
+    out = pl.pallas_call(
+        kernel,
+        grid=(p,),
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[_SMEM] * 2 + [_SMEM] * 18 + [_SMEM] + [vspec] * 6
+        + [vspec, vspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
+        input_output_aliases={n_before: 0},
+    )(end, w2o12, *boxes, *meta, *tris, live, *rays, tmax_reg, occ)
+    return out

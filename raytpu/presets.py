@@ -61,7 +61,6 @@ def config3_refract(resource_dir: Optional[str] = None) -> RenderConfig:
         height=720,
         samples_per_pixel=4,
         max_bounce_count=3,
-        ray_chunk=1 << 17,
     )
 
 
@@ -83,7 +82,6 @@ def config4_highpoly(resource_dir: Optional[str] = None) -> RenderConfig:
         height=1080,
         samples_per_pixel=4,
         max_bounce_count=3,
-        ray_chunk=1 << 17,
     )
 
 
@@ -101,7 +99,6 @@ def config5_flythrough(resource_dir: Optional[str] = None) -> RenderConfig:
         height=1080,
         samples_per_pixel=1,
         max_bounce_count=3,
-        ray_chunk=1 << 17,
     )
 
 
@@ -130,7 +127,6 @@ def reference_scene(resource_dir: Optional[str] = None) -> RenderConfig:
         height=600,
         samples_per_pixel=4,
         max_bounce_count=63,
-        ray_chunk=1 << 17,
     )
 
 
