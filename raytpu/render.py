@@ -41,6 +41,10 @@ class Renderer:
         self.render_static = RenderStatic.from_config(scene.config)
         self.animation = AnimationState(scene.instances)
         self.time_param = 0.0
+        if scene.config.validation:
+            from raytpu.utils.validation import check_scene
+
+            check_scene(self.device_scene, self.static)
 
     def set_transforms(self, time_param: float) -> None:
         """Advance instance animation to ``time_param`` (the refit analog,
@@ -54,12 +58,17 @@ class Renderer:
 
     def render(self) -> jnp.ndarray:
         """Render one frame → (H, W, 3) float32 device array."""
-        return render_frame(
+        img = render_frame(
             self.device_scene,
             self.static,
             self.render_static,
             jnp.asarray(self.camera.basis()),
         )
+        if self.scene.config.validation:
+            from raytpu.utils.validation import check_frame
+
+            check_frame(img)
+        return img
 
     def render_np(self) -> np.ndarray:
         return np.asarray(self.render())

@@ -1,6 +1,6 @@
 from raytpu.utils.timing import FpsCounter, StageTimes, measure_frame, mrays_per_sec
 from raytpu.utils.ssim import psnr, ssim
-from raytpu.utils import log
+from raytpu.utils import log, validation
 
 __all__ = [
     "FpsCounter",
@@ -10,4 +10,5 @@ __all__ = [
     "mrays_per_sec",
     "psnr",
     "ssim",
+    "validation",
 ]

@@ -142,3 +142,30 @@ def test_graft_entry_small():
     out = fn(*args)
     assert out.shape == (48, 64, 3)
     mod.dryrun_multichip(4)
+
+
+def test_validation_mode(resources_dir):
+    """config.validation=True: scene checks at load + frame checks at render
+    (the Vulkan validation-layer analog)."""
+    from raytpu.render import Renderer
+    from raytpu.scene import load_scene
+
+    cfg = _tiny_cfg(resources_dir, validation=True)
+    r = Renderer(load_scene(cfg))
+    img = r.step(0.0)  # must pass checks silently
+    assert np.isfinite(img).all()
+
+    # corrupt the scene -> fail fast with a clear error
+    from raytpu.utils.log import RaytpuError
+    from raytpu.utils.validation import check_scene
+
+    bad = r.device_scene._replace(
+        light_pos=r.device_scene.light_pos * np.nan
+    )
+    with pytest.raises(RaytpuError, match="light_pos"):
+        check_scene(bad, r.static)
+
+    from raytpu.utils.validation import check_frame
+
+    with pytest.raises(RaytpuError, match="non-finite"):
+        check_frame(np.full((4, 4, 3), np.nan))
