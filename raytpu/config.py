@@ -93,6 +93,12 @@ class RenderConfig:
     test_fps: bool = False                    # uncapped frame loop + FPS print
     validation: bool = False                  # NaN/finite guards on the render path
 
+    # skybox filter: "bilinear2x" (default: one gather into a 2x-prefiltered
+    # map — max quarter-texel error vs true bilinear, 4x fewer of the
+    # gather ops that dominate at high resolution), "bilinear" (exact
+    # reference semantics, 4 gathers), "nearest" (1 gather, unfiltered)
+    skybox_filter: str = "bilinear2x"
+
     # --- TPU-specific knobs (no reference analog; tuning surface) ---
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
     leaf_size: int = 4            # max triangles per BVH leaf

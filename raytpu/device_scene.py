@@ -61,6 +61,9 @@ class DeviceScene(NamedTuple):
     # skybox packed RGB8 into one uint32 word per texel: ONE gather per
     # bilinear tap instead of three (XLA TPU gathers cost ~7ns/lane each)
     skybox_u32: Optional[jnp.ndarray] = None   # (6*H*W,) uint32
+    # 2x bilinear-prefiltered packed map: single-tap sampling with at most
+    # a quarter-texel error vs true bilinear (the default filter)
+    skybox_u32_2x: Optional[jnp.ndarray] = None  # (6*2H*2W,) uint32
 
     # acceleration structure arrays (None until attached by raytpu.accel):
     # threaded (skip-link) BVH, concatenated over meshes
@@ -162,6 +165,24 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         sky8[..., 0] | (sky8[..., 1] << 8) | (sky8[..., 2] << 16)
     ).reshape(-1)  # (6*H*W,)
 
+    # 2x bilinear prefilter: sample positions land on the half-texel grid,
+    # so a nearest tap here == bilinear with weights quantized to {0,.5,1}
+    fh, fw = skybox.shape[1], skybox.shape[2]
+    ix = np.clip((np.arange(2 * fw) - 0.5) / 2.0, 0, fw - 1)
+    iy = np.clip((np.arange(2 * fh) - 0.5) / 2.0, 0, fh - 1)
+    x0 = np.floor(ix).astype(np.int64); wx = (ix - x0)[None, None, :, None]
+    y0 = np.floor(iy).astype(np.int64); wy = (iy - y0)[None, :, None, None]
+    x1 = np.minimum(x0 + 1, fw - 1); y1 = np.minimum(y0 + 1, fh - 1)
+    s00 = skybox[:, y0][:, :, x0]; s01 = skybox[:, y0][:, :, x1]
+    s10 = skybox[:, y1][:, :, x0]; s11 = skybox[:, y1][:, :, x1]
+    sky2x = (s00 * (1 - wx) + s01 * wx) * (1 - wy) + (
+        s10 * (1 - wx) + s11 * wx
+    ) * wy
+    sky2x8 = np.clip(sky2x * 255.0 + 0.5, 0, 255).astype(np.uint32)
+    skybox_u32_2x = (
+        sky2x8[..., 0] | (sky2x8[..., 1] << 8) | (sky2x8[..., 2] << 16)
+    ).reshape(-1)
+
     dev = DeviceScene(
         tri_v0=jnp.asarray(v0),
         tri_e1=jnp.asarray(v1 - v0),
@@ -178,6 +199,7 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         tri_n_soa=jnp.asarray(tri_n_soa),
         skybox_soa=jnp.asarray(skybox_soa),
         skybox_u32=jnp.asarray(skybox_u32),
+        skybox_u32_2x=jnp.asarray(skybox_u32_2x),
     )
 
     prim_ranges = []

@@ -50,7 +50,7 @@ from raytpu.config import (
 from raytpu.device_scene import DeviceScene, SceneStatic
 from raytpu.ops import shade
 from raytpu.ops import vec3 as v3
-from raytpu.ops.sky import sample_cubemap_u32
+from raytpu.ops.sky import sample_cubemap_u32, sample_cubemap_u32_nearest
 from raytpu.ops.trace import any_hit_wave, closest_hit_wave
 
 
@@ -63,6 +63,7 @@ class RenderStatic:
     samples_per_pixel: int
     max_bounce_count: int
     ray_chunk: int = 0     # rays per chunk (grouped whole packets); 0 = all
+    skybox_filter: str = "bilinear2x"  # see RenderConfig.skybox_filter
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
                            # 1024 = one native (8,128) VPU register — the
                            # Pallas kernel's packet width)
@@ -79,6 +80,7 @@ class RenderStatic:
             samples_per_pixel=config.samples_per_pixel,
             max_bounce_count=config.max_bounce_count,
             ray_chunk=config.ray_chunk,
+            skybox_filter=config.skybox_filter,
         )
 
 
@@ -268,7 +270,18 @@ def _trace_sample(
     mdx = jnp.where(miss_rec, miss_dir[0], 0.0)
     mdy = jnp.where(miss_rec, miss_dir[1], 0.0)
     mdz = jnp.where(miss_rec, -miss_dir[2], 1.0)
-    sky = sample_cubemap_u32(scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz))
+    if rs.skybox_filter == "bilinear":
+        sky = sample_cubemap_u32(
+            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz)
+        )
+    elif rs.skybox_filter == "nearest":
+        sky = sample_cubemap_u32_nearest(
+            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz)
+        )
+    else:  # "bilinear2x": single tap into the 2x-prefiltered map
+        sky = sample_cubemap_u32_nearest(
+            scene.skybox_u32_2x, 2 * sky_h, 2 * sky_w, (mdx, mdy, mdz)
+        )
     return v3.where(miss_rec, sky, tmp)
 
 

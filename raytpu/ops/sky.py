@@ -64,6 +64,42 @@ def cube_face_st(dirs: jnp.ndarray):
     return face, s, t
 
 
+def sample_cubemap_u32_nearest(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
+    """Single-tap lookup into a packed RGB8 cube map: ONE gather per lane.
+
+    With ``skybox_u32_2x`` (the 2× bilinear-prefiltered map) this equals
+    bilinear filtering with weights quantized to the half-texel grid — a
+    quarter-texel max error — at a quarter of the gather cost.
+    """
+    x, y, z = dirs
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = (~is_x) & (ay >= az)
+    face = jnp.where(
+        is_x,
+        jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-30)
+    sc = jnp.where(
+        is_x,
+        jnp.where(x >= 0, -z, z),
+        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
+    )
+    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
+    s = 0.5 * (sc / ma + 1.0)
+    t = 0.5 * (tc / ma + 1.0)
+    xc = jnp.clip(jnp.floor(s * w).astype(jnp.int32), 0, w - 1)
+    yc = jnp.clip(jnp.floor(t * h).astype(jnp.int32), 0, h - 1)
+    word = jnp.take(skybox_u32, face * (h * w) + yc * w + xc, axis=0)
+    inv = jnp.float32(1.0 / 255.0)
+    return (
+        (word & 0xFF).astype(jnp.float32) * inv,
+        ((word >> 8) & 0xFF).astype(jnp.float32) * inv,
+        ((word >> 16) & 0xFF).astype(jnp.float32) * inv,
+    )
+
+
 def sample_cubemap_u32(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
     """Bilinear cube-map lookup from RGB8-packed-uint32 texels.
 

@@ -59,6 +59,7 @@ def _scene_and_oracle(resources_dir, objects, spp=1, max_bounces=3, size=24,
         height=size,
         samples_per_pixel=spp,
         max_bounce_count=max_bounces,
+        skybox_filter="bilinear",  # the oracle implements exact bilinear
     )
     meshes = [load_obj_numpy(o.path) for o in objects]
     scene = load_scene(cfg, meshes=meshes, skybox=sky)
@@ -182,7 +183,8 @@ def test_ray_chunking_equivalent(resources_dir):
     )
     img_full = base.render_np()
     base.render_static = RenderStatic(
-        width=16, height=16, samples_per_pixel=1, max_bounce_count=2, ray_chunk=64
+        width=16, height=16, samples_per_pixel=1, max_bounce_count=2,
+        ray_chunk=64, skybox_filter="bilinear",
     )
     img_chunked = base.render_np()
     np.testing.assert_allclose(img_full, img_chunked, atol=1e-6)

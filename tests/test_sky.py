@@ -90,3 +90,37 @@ def test_scale_invariance():
     a = np.asarray(sample_cubemap(sky, d))
     b = np.asarray(sample_cubemap(sky, d * 7.5))
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_bilinear2x_close_to_bilinear(rng):
+    """Single-tap into the 2x-prefiltered map ~ true bilinear (quarter-texel
+    max error) on a smooth cube map."""
+    import jax.numpy as jnp
+    from raytpu.device_scene import build_device_scene
+    from raytpu.config import MaterialType, ObjectConfig, RenderConfig
+    from raytpu.io.obj import Mesh
+    from raytpu.scene import load_scene
+    from raytpu.ops.sky import sample_cubemap_u32, sample_cubemap_u32_nearest
+
+    size = 32
+    g = np.linspace(0, 1, size, dtype=np.float32)
+    face = np.stack(list(np.meshgrid(g, g, indexing="ij")) + [np.full((size, size), 0.5, np.float32)], -1)
+    sky = np.stack([face] * 6, 0).astype(np.float32)
+
+    tri = Mesh(
+        positions=np.zeros((3, 3), np.float32),
+        normals=np.zeros((3, 3), np.float32),
+        triangles=np.array([[0, 1, 2]], np.int32), name="t",
+    )
+    cfg = RenderConfig(objects=(ObjectConfig("t", MaterialType.DIFFUSE),))
+    dev, _ = build_device_scene(load_scene(cfg, meshes=[tri], skybox=sky))
+
+    d = rng.normal(size=(4096, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = tuple(jnp.asarray(d[:, c]) for c in range(3))
+    exact = sample_cubemap_u32(dev.skybox_u32, size, size, dirs)
+    fast = sample_cubemap_u32_nearest(dev.skybox_u32_2x, 2 * size, 2 * size, dirs)
+    for c in range(3):
+        err = np.abs(np.asarray(exact[c]) - np.asarray(fast[c]))
+        # quarter-texel of a smooth gradient + 8-bit quantization
+        assert err.max() < 0.02, err.max()
