@@ -62,7 +62,7 @@ def _build_config(args) -> RenderConfig:
             cfg = cfg.replace(skybox_dir=args.skybox)
     overrides = {}
     for field in ("width", "height", "samples_per_pixel", "max_bounce_count",
-                  "ray_chunk"):
+                  "ray_chunk", "devices"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -87,6 +87,8 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-bounce-count", type=int, dest="max_bounce_count")
     p.add_argument("--ray-chunk", type=int, dest="ray_chunk")
     p.add_argument("--light", type=float, nargs=3, metavar=("X", "Y", "Z"))
+    p.add_argument("--devices", type=int,
+                   help="shard pixel tiles across N devices")
     p.add_argument("--highpoly-depth", type=int, default=7,
                    help="subdivision depth for generated:// meshes")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")

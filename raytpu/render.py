@@ -41,6 +41,7 @@ class Renderer:
         self.render_static = RenderStatic.from_config(scene.config)
         self.animation = AnimationState(scene.instances)
         self.time_param = 0.0
+        self._mesh = None
         if scene.config.validation:
             from raytpu.utils.validation import check_scene
 
@@ -57,13 +58,29 @@ class Renderer:
         )
 
     def render(self) -> jnp.ndarray:
-        """Render one frame → (H, W, 3) float32 device array."""
-        img = render_frame(
-            self.device_scene,
-            self.static,
-            self.render_static,
-            jnp.asarray(self.camera.basis()),
-        )
+        """Render one frame → (H, W, 3) float32 device array.
+
+        With ``config.devices > 1`` the frame is sharded row-wise over a
+        device mesh (``raytpu/parallel/dist.py``)."""
+        if self.scene.config.devices > 1:
+            from raytpu.parallel import make_mesh, render_sharded
+
+            if self._mesh is None:
+                self._mesh = make_mesh(self.scene.config.devices)
+            img = render_sharded(
+                self.device_scene,
+                self.static,
+                self.render_static,
+                self.camera.basis(),
+                self._mesh,
+            )
+        else:
+            img = render_frame(
+                self.device_scene,
+                self.static,
+                self.render_static,
+                jnp.asarray(self.camera.basis()),
+            )
         if self.scene.config.validation:
             from raytpu.utils.validation import check_frame
 

@@ -80,3 +80,19 @@ def test_sharded_output_actually_distributed(small_scene):
     )
     # the device buffer should be sharded across all 8 devices
     assert len(img.sharding.device_set) == 8
+
+
+def test_renderer_devices_config(small_scene):
+    """config.devices>1 routes Renderer.render through the sharded path and
+    matches the single-device image."""
+    from raytpu.render import Renderer
+
+    r1 = small_scene
+    img_single = r1.render_np()
+    scene2 = r1.scene
+    scene2.config = scene2.config.replace(devices=8)
+    r8 = Renderer(scene2)
+    r8.set_transforms(0.25)
+    img_multi = r8.render_np()
+    np.testing.assert_allclose(img_multi, img_single, atol=1e-6)
+    scene2.config = scene2.config.replace(devices=1)
