@@ -134,3 +134,33 @@ class Camera:
         out = m.copy()
         out[:3, 3] = 0.0
         return out
+
+    # --- state checkpointing (no reference analog — the reference loses all
+    # camera state on exit; SURVEY.md §5 "checkpoint/resume") ---
+    def state_dict(self) -> dict:
+        return {
+            "position": [float(x) for x in self.position],
+            "yaw": float(self.yaw),
+            "pitch": float(self.pitch),
+        }
+
+    @classmethod
+    def from_state_dict(cls, state: dict) -> "Camera":
+        cam = cls(tuple(state["position"]))
+        cam.yaw = float(state["yaw"])
+        cam.pitch = float(state["pitch"])
+        cam._update_vectors()
+        return cam
+
+    def save(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(self.state_dict(), fh)
+
+    @classmethod
+    def load(cls, path: str) -> "Camera":
+        import json
+
+        with open(path) as fh:
+            return cls.from_state_dict(json.load(fh))

@@ -121,7 +121,37 @@ def load_obj(path: str):
     return mesh
 
 
-def read_jpeg(path: str):  # pragma: no cover - PIL is present in this image
-    raise NotImplementedError(
-        "native JPEG decode not built; PIL handles decode in this environment"
-    )
+def read_jpeg(path: str):
+    """Decode a baseline JPEG via the native decoder → (H, W, 3) uint8.
+
+    Supports baseline sequential Huffman JPEGs (the skybox assets);
+    raises ValueError for unsupported variants so callers can fall back
+    to PIL (``raytpu.io.image.read_image`` does).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built (make -C native)")
+    lib.jpeg_decode_file.restype = ctypes.c_void_p
+    lib.jpeg_decode_file.argtypes = [ctypes.c_char_p]
+    lib.jpeg_error.restype = ctypes.c_char_p
+    lib.jpeg_error.argtypes = [ctypes.c_void_p]
+    for name in ("jpeg_width", "jpeg_height"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [ctypes.c_void_p]
+    lib.jpeg_rgb.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.jpeg_rgb.argtypes = [ctypes.c_void_p]
+    lib.jpeg_free.argtypes = [ctypes.c_void_p]
+    lib.jpeg_free.restype = None
+
+    handle = lib.jpeg_decode_file(path.encode())
+    try:
+        err = lib.jpeg_error(handle)
+        if err:
+            raise ValueError(f"{path}: {err.decode()}")
+        w = lib.jpeg_width(handle)
+        h = lib.jpeg_height(handle)
+        rgb = np.ctypeslib.as_array(lib.jpeg_rgb(handle), shape=(h, w, 3)).copy()
+    finally:
+        lib.jpeg_free(handle)
+    return rgb

@@ -544,15 +544,23 @@ def _closest_kernel3(*refs, tmin: float):
                 sidx = first + k
                 t, u, v, hit = _mt(o, d, T, sidx, tmin, bt)
                 hit = hit & (k < count)
-                w = 1.0 - u - v
-                bn = tuple(
-                    jnp.where(
-                        hit,
-                        w * N[c][sidx] + u * N[3 + c][sidx] + v * N[6 + c][sidx],
-                        bn[c],
+
+                def interp(bn):
+                    # normal interpolation only when some lane hit this
+                    # triangle — most leaf triangles miss every lane, and
+                    # the 9 scalar loads + blends are the leaf hot cost
+                    w = 1.0 - u - v
+                    return tuple(
+                        jnp.where(
+                            hit,
+                            w * N[c][sidx] + u * N[3 + c][sidx]
+                            + v * N[6 + c][sidx],
+                            bn[c],
+                        )
+                        for c in range(3)
                     )
-                    for c in range(3)
-                )
+
+                bn = jax.lax.cond(jnp.any(hit), interp, lambda b: b, bn)
                 bs = jnp.where(hit, sidx, bs)
                 bu = jnp.where(hit, u, bu)
                 bv = jnp.where(hit, v, bv)

@@ -89,3 +89,14 @@ def test_view_matrix_places_target_on_minus_z():
     m = cam.view_matrix()
     p = m @ np.array([0, 0, 0, 1.0])
     np.testing.assert_allclose(p[:3], [0, 0, -20], atol=1e-12)
+
+
+def test_camera_checkpoint_roundtrip(tmp_path):
+    cam = Camera((1, 2, 3))
+    cam.process_mouse_movement(0.4, -0.2)
+    p = str(tmp_path / "cam.json")
+    cam.save(p)
+    back = Camera.load(p)
+    np.testing.assert_allclose(back.position, cam.position)
+    np.testing.assert_allclose(back.front, cam.front)
+    np.testing.assert_allclose(back.basis(), cam.basis())

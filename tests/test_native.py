@@ -126,3 +126,31 @@ def test_native_bvh_speed_vs_python(rng):
     py_build_bvh(v0, e1, e2)
     t_python = time.perf_counter() - t0
     assert t_native < t_python / 5, (t_native, t_python)
+
+
+def test_native_jpeg_matches_pil(resources_dir):
+    """Baseline JPEG decode vs PIL (IDCT rounding + chroma upsampling give
+    small per-pixel differences; the images must be visually identical)."""
+    from PIL import Image
+
+    f = f"{resources_dir}/skybox_texture_sea/front.jpg"
+    ours = native_io.read_jpeg(f)
+    ref = np.asarray(Image.open(f).convert("RGB"))
+    assert ours.shape == ref.shape
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.mean() < 0.5
+    assert (diff > 16).mean() < 1e-4
+
+
+def test_native_jpeg_rejects_unsupported(tmp_path):
+    p = tmp_path / "x.jpg"
+    p.write_bytes(b"\xff\xd8\xff\xc2" + b"\x00" * 32)  # SOF2 progressive-ish
+    with pytest.raises(ValueError):
+        native_io.read_jpeg(str(p))
+
+
+def test_native_jpeg_missing_soi(tmp_path):
+    p = tmp_path / "bad.jpg"
+    p.write_bytes(b"not a jpeg")
+    with pytest.raises(ValueError, match="SOI"):
+        native_io.read_jpeg(str(p))
