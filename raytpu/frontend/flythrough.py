@@ -71,9 +71,12 @@ class Flythrough:
         self.renderer = Renderer(scene)
         self.config = scene.config
 
-    def frames(self):
+    def frames(self, device: bool = False):
         """Yield (frame_index, image) replaying the script at fixed virtual
-        time steps (deterministic regardless of wall clock)."""
+        time steps (deterministic regardless of wall clock).
+
+        ``device=True`` yields device arrays (no host readback) for
+        benchmarking/presentation; default yields NumPy for file IO."""
         cam = self.renderer.camera
         sens = self.config.camera_mouse_sensitivity
         speed = self.config.camera_speed
@@ -95,16 +98,30 @@ class Flythrough:
                     dx = seg.mouse_dx * self.frame_dt
                     dy = seg.mouse_dy * self.frame_dt
                     cam.process_mouse_movement(dx * sens, dy * sens)
-                img = self.renderer.step(time_param)
+                if device:
+                    self.renderer.set_transforms(time_param)
+                    img = self.renderer.render()
+                else:
+                    img = self.renderer.step(time_param)
                 yield idx, img
                 idx += 1
 
     def run_benchmark(self, max_frames: Optional[int] = None):
-        """Replay the script as fast as the device allows; return stats."""
+        """Replay the script as fast as the device allows; return stats.
+
+        The first frame (compile) is excluded — steady-state numbers, like
+        the reference's uncapped TEST_FPS counter after warmup."""
         counter = FpsCounter(print_fn=log.verbose)
-        t_start = time.perf_counter()
+        t_start = None
         frame_count = 0
-        for idx, img in self.frames():
+        # device-side frame loop: like the reference's TEST_FPS counter the
+        # benchmark measures frame completion, not host readback (a real
+        # display path consumes the device buffer directly)
+        for idx, img in self.frames(device=True):
+            img.block_until_ready()
+            if t_start is None:
+                t_start = time.perf_counter()  # exclude compile frame
+                continue
             counter.frame()
             frame_count += 1
             if max_frames is not None and frame_count >= max_frames:

@@ -87,6 +87,13 @@ class Renderer:
             check_frame(img)
         return img
 
+    def render_u8(self):
+        """Render and quantize to uint8 ON DEVICE — 4x less host-transfer
+        for presentation paths (the swapchain-copy analog,
+        src/main.cpp:2597-2735)."""
+        img = self.render()
+        return jnp.clip(img * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
     def render_np(self) -> np.ndarray:
         return np.asarray(self.render())
 
