@@ -49,8 +49,13 @@ def render_sequence(
     os.makedirs(out_dir, exist_ok=True)
     scene = load_preset_scene(preset_or_config, highpoly_depth=highpoly_depth)
     renderer = Renderer(scene, camera=camera)
+    from raytpu.utils import FpsCounter
+
+    fps_counter = FpsCounter(print_fn=log.info)
     for i in range(num_frames):
         time_param = (i * dt) * 0.1
         img = renderer.step(time_param)
         write_image(os.path.join(out_dir, f"frame_{i:05d}.png"), img)
+        if scene.config.test_fps:  # TEST_FPS analog (config.h:21-22)
+            fps_counter.frame()
     log.info(f"wrote {num_frames} frames to {out_dir}")

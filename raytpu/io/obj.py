@@ -37,6 +37,42 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+def parse_mtl(path: str) -> dict:
+    """Parse a Wavefront MTL file → {material_name: {key: values}}.
+
+    Parity-with-quirk: the reference parses MTL files via tinyobjloader but
+    its shading IGNORES them entirely (materials are fetched and dropped,
+    ``src/main.cpp:1648`` keeps only vertex indices; shading constants are
+    hard-coded in the shader, ``src/shader.rgen:51-55``). raytpu does the
+    same: materials are parsed and attached to the Mesh for API parity and
+    future use, but the integrator shades from the reference constants.
+    """
+    materials: dict = {}
+    current = None
+    try:
+        fh = open(path, "r", errors="replace")
+    except FileNotFoundError:
+        return materials
+    with fh:
+        for line in fh:
+            parts = line.split()
+            if not parts or parts[0].startswith("#"):
+                continue
+            if parts[0] == "newmtl":
+                current = parts[1] if len(parts) > 1 else ""
+                materials[current] = {}
+            elif current is not None:
+                key = parts[0]
+                vals = []
+                for tok in parts[1:]:
+                    try:
+                        vals.append(float(tok))
+                    except ValueError:
+                        vals.append(tok)
+                materials[current][key] = vals if len(vals) != 1 else vals[0]
+    return materials
+
+
 @dataclasses.dataclass
 class Mesh:
     """A triangle mesh: SoA arrays ready for device upload.
@@ -50,6 +86,8 @@ class Mesh:
     normals: np.ndarray    # (V, 3) float32
     triangles: np.ndarray  # (T, 3) int32
     name: str = ""
+    # parsed-but-unused-for-shading MTL materials (reference quirk parity)
+    materials_info: dict = dataclasses.field(default_factory=dict)
 
     @property
     def num_vertices(self) -> int:
@@ -117,6 +155,7 @@ def load_obj(path: str, use_native: Optional[bool] = None) -> Mesh:
 def load_obj_numpy(path: str) -> Mesh:
     positions: List[Tuple[float, float, float]] = []
     vn_list: List[Tuple[float, float, float]] = []
+    mtllib: dict = {}
     # faces as (vertex_index, normal_index-or-(-1)) pairs, fan-triangulated
     tri_v: List[Tuple[int, int, int]] = []
     tri_vn: List[Tuple[int, int, int]] = []
@@ -148,7 +187,10 @@ def load_obj_numpy(path: str) -> Mesh:
                 for k in range(1, len(corners_v) - 1):
                     tri_v.append((corners_v[0], corners_v[k], corners_v[k + 1]))
                     tri_vn.append((corners_vn[0], corners_vn[k], corners_vn[k + 1]))
-            # 'o', 'g', 'usemtl', 'mtllib', 's', 'vt' — parsed past, like the
+            elif tag == "mtllib" and len(parts) > 1:
+                mtl_path = os.path.join(os.path.dirname(path), parts[1])
+                mtllib.update(parse_mtl(mtl_path))
+            # 'o', 'g', 'usemtl', 's', 'vt' — parsed past, like the
             # reference ignoring everything but vertex_index (src/main.cpp:1648)
 
     pos = np.asarray(positions, dtype=np.float32).reshape(-1, 3)
@@ -178,6 +220,7 @@ def load_obj_numpy(path: str) -> Mesh:
         normals=normals.astype(np.float32),
         triangles=tris,
         name=os.path.basename(path),
+        materials_info=mtllib,
     )
     mesh.validate()
     return mesh

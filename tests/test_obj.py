@@ -138,3 +138,24 @@ def test_assemble_geometry_offsets(tmp_path):
     vs, ps = g.mesh_slice(1)
     assert (vs.start, vs.stop) == (3, 7)
     assert (ps.start, ps.stop) == (1, 3)
+
+
+def test_mtl_parsed_but_unused(resources_dir):
+    """MTL parity quirk: materials are parsed (like tinyobjloader in the
+    reference) but shading ignores them (src/main.cpp:1648)."""
+    m = load_obj_numpy(f"{resources_dir}/cube_scene.obj")
+    assert m.materials_info, "cube_scene.mtl should have been parsed"
+    any_mat = next(iter(m.materials_info.values()))
+    assert "Kd" in any_mat or "Ns" in any_mat
+
+
+def test_parse_mtl_direct(tmp_path):
+    from raytpu.io.obj import parse_mtl
+
+    p = tmp_path / "m.mtl"
+    p.write_text("newmtl red\nKd 1 0 0\nNs 50\nmap_Kd tex.png\n")
+    mats = parse_mtl(str(p))
+    assert mats["red"]["Kd"] == [1.0, 0.0, 0.0]
+    assert mats["red"]["Ns"] == 50.0
+    assert mats["red"]["map_Kd"] == "tex.png"
+    assert parse_mtl(str(tmp_path / "missing.mtl")) == {}
