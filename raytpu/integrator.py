@@ -64,6 +64,7 @@ class RenderStatic:
     max_bounce_count: int
     ray_chunk: int = 0     # rays per chunk (grouped whole packets); 0 = all
     skybox_filter: str = "bilinear2x"  # see RenderConfig.skybox_filter
+    fold_spp: bool = True  # trace all spp waves in one folded sweep
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
                            # 1024 = one native (8,128) VPU register — the
                            # Pallas kernel's packet width)
@@ -294,22 +295,42 @@ def render_packets(
     py: jnp.ndarray,       # (P, K) float32 pixel y coords
     active0: jnp.ndarray,  # (P, K) lane mask (frame-padding excluded)
 ):
-    """Render packets of pixels → Vec3 color of (P, K) (sample-averaged)."""
+    """Render packets of pixels → Vec3 color of (P, K) (sample-averaged).
+
+    All spp sample waves are FOLDED into the packet dimension and traced in
+    one sweep (``fold_spp``): traversal latencies and the deferred skybox
+    fetch amortize over spp× packets instead of running spp sequential
+    waves. Per-lane sample indices drive the jitter seeds and the
+    ``0.9^sample_index`` decay exactly as the reference's sample loop
+    (``src/shader.rgen:70``)."""
     p, k = px.shape
+    spp = rs.samples_per_pixel
+
+    if rs.fold_spp and spp > 1:
+        pxs = jnp.tile(px, (spp, 1))           # (spp·P, K)
+        pys = jnp.tile(py, (spp, 1))
+        act = jnp.tile(active0, (spp, 1))
+        s_idx = jnp.repeat(
+            jnp.arange(spp, dtype=jnp.float32), p
+        )[:, None] * jnp.ones((1, k), jnp.float32)
+        o, d = primary_rays_soa((pxs, pys), camera, s_idx, spp,
+                                rs.width, rs.height)
+        colors = _trace_sample(scene, static, rs, o, d, s_idx, act)
+        return tuple(
+            c.reshape(spp, p, k).mean(axis=0) for c in colors
+        )  # :183
 
     def sample_body(i, accum):
         o, d = primary_rays_soa(
-            (px, py), camera, i, rs.samples_per_pixel, rs.width, rs.height
+            (px, py), camera, i, spp, rs.width, rs.height
         )
         return v3.add(
             accum, _trace_sample(scene, static, rs, o, d, i, active0)
         )
 
     zero = jnp.zeros((p, k), jnp.float32)
-    accum = jax.lax.fori_loop(
-        0, rs.samples_per_pixel, sample_body, (zero, zero, zero)
-    )
-    return v3.scale(1.0 / rs.samples_per_pixel, accum)  # :183
+    accum = jax.lax.fori_loop(0, spp, sample_body, (zero, zero, zero))
+    return v3.scale(1.0 / spp, accum)  # :183
 
 
 # kept name for API continuity: flat (R, 2) pixel batches are reshaped into
