@@ -166,22 +166,33 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
     ).reshape(-1)  # (6*H*W,)
 
     # 2x bilinear prefilter: sample positions land on the half-texel grid,
-    # so a nearest tap here == bilinear with weights quantized to {0,.5,1}
+    # so a nearest tap here == bilinear with weights quantized to {0,.5,1}.
+    # Separable and per-face in float32 to keep host memory bounded
+    # (the naive fancy-indexed form materialized multi-GB temporaries).
     fh, fw = skybox.shape[1], skybox.shape[2]
-    ix = np.clip((np.arange(2 * fw) - 0.5) / 2.0, 0, fw - 1)
-    iy = np.clip((np.arange(2 * fh) - 0.5) / 2.0, 0, fh - 1)
-    x0 = np.floor(ix).astype(np.int64); wx = (ix - x0)[None, None, :, None]
-    y0 = np.floor(iy).astype(np.int64); wy = (iy - y0)[None, :, None, None]
-    x1 = np.minimum(x0 + 1, fw - 1); y1 = np.minimum(y0 + 1, fh - 1)
-    s00 = skybox[:, y0][:, :, x0]; s01 = skybox[:, y0][:, :, x1]
-    s10 = skybox[:, y1][:, :, x0]; s11 = skybox[:, y1][:, :, x1]
-    sky2x = (s00 * (1 - wx) + s01 * wx) * (1 - wy) + (
-        s10 * (1 - wx) + s11 * wx
-    ) * wy
-    sky2x8 = np.clip(sky2x * 255.0 + 0.5, 0, 255).astype(np.uint32)
-    skybox_u32_2x = (
-        sky2x8[..., 0] | (sky2x8[..., 1] << 8) | (sky2x8[..., 2] << 16)
-    ).reshape(-1)
+
+    def upsample_axis(img, axis, size):
+        pos = np.clip((np.arange(2 * size, dtype=np.float32) - 0.5) / 2.0,
+                      0, size - 1)
+        i0 = np.floor(pos).astype(np.int64)
+        i1 = np.minimum(i0 + 1, size - 1)
+        w = (pos - i0).astype(np.float32)
+        a = np.take(img, i0, axis=axis)
+        b = np.take(img, i1, axis=axis)
+        shape = [1] * img.ndim
+        shape[axis] = 2 * size
+        w = w.reshape(shape)
+        return a * (1 - w) + b * w
+
+    skybox_u32_2x = np.empty((6, 2 * fh * 2 * fw), np.uint32)
+    for f in range(6):
+        face = skybox[f].astype(np.float32)          # (H, W, 3)
+        face2 = upsample_axis(upsample_axis(face, 0, fh), 1, fw)
+        f8 = np.clip(face2 * 255.0 + 0.5, 0, 255).astype(np.uint32)
+        skybox_u32_2x[f] = (
+            f8[..., 0] | (f8[..., 1] << 8) | (f8[..., 2] << 16)
+        ).reshape(-1)
+    skybox_u32_2x = skybox_u32_2x.reshape(-1)
 
     dev = DeviceScene(
         tri_v0=jnp.asarray(v0),

@@ -73,6 +73,15 @@ class RenderStatic:
     def packet_size(self) -> int:
         return self.tile * self.tile
 
+    VALID_SKYBOX_FILTERS = ("bilinear2x", "bilinear", "nearest")
+
+    def __post_init__(self):
+        if self.skybox_filter not in self.VALID_SKYBOX_FILTERS:
+            raise ValueError(
+                f"unknown skybox_filter {self.skybox_filter!r}; "
+                f"use one of {self.VALID_SKYBOX_FILTERS}"
+            )
+
     @classmethod
     def from_config(cls, config: RenderConfig) -> "RenderStatic":
         return cls(
