@@ -22,10 +22,11 @@ import numpy as np
 
 from raytpu.ops.traverse_pallas import fits_smem
 
-# triangles per chunk: nodes ≈ 0.65·T for leaf_size 4; tables now carry 18
-# f32 per triangle (corners + shading normals) → keep a safety margin under
-# the ~768KB SMEM budget
-CHUNK_TRIS = 6144
+# triangles per chunk: nodes ≈ 0.65·T for leaf_size 4; tables carry 18 f32
+# per triangle (corners + shading normals) + 36B per node → ~90B/tri.
+# Sized so even node-heavy SAH trees stay under the SMEM budget; fewer
+# chunks directly cut the per-(packet,chunk) grid-step floor (~0.5µs each).
+CHUNK_TRIS = 9216
 
 
 def morton_codes(centroids: np.ndarray) -> np.ndarray:

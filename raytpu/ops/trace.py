@@ -141,32 +141,29 @@ def closest_hit_wave(
     # in-kernel transform + in-place merge (zero XLA glue per chunk)
     if _all_pallas(static, k):
         from raytpu.ops.traverse_pallas import (
-            K_LANE,
-            K_SUB,
             make_trace_state,
+            pack_rays,
             pallas_closest_chain,
+            unpack_state,
         )
 
         tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
         live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)
+        rays = pack_rays(o, d)
         state = make_trace_state(tmax_pk)
         for inst_id, mesh_id in static.traversal_list:
             state = pallas_closest_chain(
-                scene, static, mesh_id, inst_id, o, d, tmin, live, state
+                scene, static, mesh_id, inst_id, rays, tmin, live, state
             )
-        valid = state.valid.reshape(p, k) != 0
-        n = v3.normalize(
-            (state.nx.reshape(p, k), state.ny.reshape(p, k),
-             state.nz.reshape(p, k))
-        )
+        t, valid, mat, inst, n, u, v = unpack_state(state, p, k)
         return HitWave(
-            t=jnp.where(valid, state.t.reshape(p, k), BIG_T),
+            t=jnp.where(valid, t, BIG_T),
             valid=valid,
-            mat=state.mat.reshape(p, k),
-            n=n,
-            inst=state.inst.reshape(p, k),
-            u=state.u.reshape(p, k),
-            v=state.v.reshape(p, k),
+            mat=mat,
+            n=v3.normalize(n),
+            inst=inst,
+            u=u,
+            v=v,
         )
 
     zero = jnp.zeros((p, k), jnp.float32)
@@ -269,16 +266,18 @@ def any_hit_wave(
         from raytpu.ops.traverse_pallas import (
             K_LANE,
             K_SUB,
+            pack_rays,
             pallas_anyhit_chain,
         )
 
         tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
         live = jnp.any(tmax_pk > tmin, axis=1).astype(jnp.int32)
+        rays = pack_rays(o, d)
         tmax_reg = tmax_pk.reshape(p, K_SUB, K_LANE)
         occ = jnp.zeros((p, K_SUB, K_LANE), jnp.int32)
         for inst_id, mesh_id in static.traversal_list:
             occ = pallas_anyhit_chain(
-                scene, static, mesh_id, inst_id, o, d, tmin, live,
+                scene, static, mesh_id, inst_id, rays, tmin, live,
                 tmax_reg, occ,
             )
         return occ.reshape(p, k) != 0

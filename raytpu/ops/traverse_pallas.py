@@ -44,8 +44,10 @@ LEAF_UNROLL = 4
 K_SUB, K_LANE = 8, 128           # packet register shape
 PACKET_K = K_SUB * K_LANE        # 1024 rays per packet
 
-# SMEM residency budget for one mesh's BVH (bytes); the core exposes ~1MB.
-SMEM_BUDGET = 768 * 1024
+# SMEM residency budget for one mesh's BVH (bytes); the core exposes 1MB
+# exactly (compile error beyond 1048576) — leave headroom for the scalar
+# operand windows
+SMEM_BUDGET = 960 * 1024
 
 
 def smem_bytes(num_nodes: int, num_tris: int) -> int:
@@ -452,34 +454,41 @@ def pallas_anyhit(
 # chunks' hits also prune later chunks' traversals (state.t is the window).
 # ===========================================================================
 
-class TraceState(NamedTuple):
-    """Aliased best-hit state threaded through per-chunk kernel calls.
-
-    All arrays are kernel register layout (P, 8, 128); ``valid``/``mat``/
-    ``inst`` are int32 (Mosaic mis-lowers bool vectors through lax.cond).
-    ``n*`` are WORLD-space (unnormalized) shading normals."""
-
-    t: jnp.ndarray
-    valid: jnp.ndarray
-    mat: jnp.ndarray
-    inst: jnp.ndarray
-    nx: jnp.ndarray
-    ny: jnp.ndarray
-    nz: jnp.ndarray
-    u: jnp.ndarray
-    v: jnp.ndarray
+# TraceState: ONE (9, P, 8, 128) float32 array — packed so each grid step
+# moves 2 state blocks (in/out) instead of 18. Slot layout:
+#   0 t | 1 valid (i32 bits) | 2 mat (i32 bits) | 3 inst (i32 bits)
+#   4 nx | 5 ny | 6 nz | 7 u | 8 v
+# Integer fields travel as bit patterns (pure moves; bitcast at use sites).
+# Measured: 25 separate block transfers made a PARKED packet-chunk step cost
+# ~480ns — 40% of a config4 sweep was pure DMA descriptor overhead.
+ST_T, ST_VALID, ST_MAT, ST_INST = 0, 1, 2, 3
+ST_NX, ST_NY, ST_NZ, ST_U, ST_V = 4, 5, 6, 7, 8
 
 
-def make_trace_state(lane_tmax: jnp.ndarray) -> TraceState:
-    """Fresh per-bounce state; ``lane_tmax`` (P, K) doubles as the per-lane
-    trace window (0 ⇒ inactive lane)."""
+def make_trace_state(lane_tmax: jnp.ndarray) -> jnp.ndarray:
+    """Fresh per-bounce packed state; ``lane_tmax`` (P, K) doubles as the
+    per-lane trace window (0 ⇒ inactive lane)."""
     p, k = lane_tmax.shape
-    t = lane_tmax.reshape(p, K_SUB, K_LANE)
-    zi = jnp.zeros((p, K_SUB, K_LANE), jnp.int32)
-    zf = jnp.zeros((p, K_SUB, K_LANE), jnp.float32)
-    return TraceState(
-        t=t, valid=zi, mat=zi, inst=zi - 1,
-        nx=zf, ny=zf, nz=zf + 1.0, u=zf, v=zf,
+    t = lane_tmax.reshape(1, p, K_SUB, K_LANE)
+    zf = jnp.zeros((1, p, K_SUB, K_LANE), jnp.float32)
+    neg1 = jnp.broadcast_to(
+        jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
+        (1, p, K_SUB, K_LANE),
+    )
+    return jnp.concatenate(
+        [t, zf, zf, neg1, zf, zf, zf + 1.0, zf, zf], axis=0
+    )
+
+
+def unpack_state(state: jnp.ndarray, p: int, k: int):
+    """Packed state → (t, valid_bool, mat, inst, n Vec3, u, v), (P, K)."""
+    f = lambda i: state[i].reshape(p, k)  # noqa: E731
+    i32 = lambda i: jax.lax.bitcast_convert_type(  # noqa: E731
+        state[i], jnp.int32
+    ).reshape(p, k)
+    return (
+        f(ST_T), i32(ST_VALID) != 0, i32(ST_MAT), i32(ST_INST),
+        (f(ST_NX), f(ST_NY), f(ST_NZ)), f(ST_U), f(ST_V),
     )
 
 
@@ -488,7 +497,8 @@ def _closest_kernel3(*refs, tmin: float):
     in-place state merge.
 
     refs: [end, w2o(12), matid, instid, bx0..bx5, first, count, miss,
-           t0..t8, n0..n8, live, ox..dz(world), st_in(9), st_out(9)]
+           t0..t8, n0..n8, live, rays(6,1,8,128), st_in(9,1,8,128),
+           st_out(9,1,8,128)]
     """
     end_ref, w2o_ref, matid_ref, instid_ref = refs[0], refs[1], refs[2], refs[3]
     bxs = refs[4:10]
@@ -496,15 +506,15 @@ def _closest_kernel3(*refs, tmin: float):
     T = refs[13:22]
     N = refs[22:31]
     live_ref = refs[31]
-    ray_refs = refs[32:38]
-    st_in = refs[38:47]
-    st_out = refs[47:56]
+    rays_ref = refs[32]
+    st_in = refs[33]
+    st_out = refs[34]
     end = end_ref[0]
 
     m = [w2o_ref[i] for i in range(12)]  # row-major 3x4 world→object
 
-    ow = [ray_refs[c][0] for c in range(3)]
-    dw = [ray_refs[3 + c][0] for c in range(3)]
+    ow = [rays_ref[c, 0] for c in range(3)]
+    dw = [rays_ref[3 + c, 0] for c in range(3)]
     # world→object, in registers (t stays world-parameterized)
     o = [
         m[0] * ow[0] + m[1] * ow[1] + m[2] * ow[2] + m[3],
@@ -521,7 +531,7 @@ def _closest_kernel3(*refs, tmin: float):
         for x in d
     ]
 
-    bt0 = st_in[0][0]  # running best t (doubles as the prune window)
+    bt0 = st_in[ST_T, 0]  # running best t (doubles as the prune window)
 
     node0 = jnp.where(live_ref[pl.program_id(0)] != 0,
                       jnp.int32(0), jnp.int32(end))
@@ -588,75 +598,92 @@ def _closest_kernel3(*refs, tmin: float):
     nwy = m[1] * bn[0] + m[5] * bn[1] + m[9] * bn[2]
     nwz = m[2] * bn[0] + m[6] * bn[1] + m[10] * bn[2]
 
-    st_out[0][0] = bt
-    st_out[1][0] = jnp.where(improved, 1, st_in[1][0])
-    st_out[2][0] = jnp.where(improved, matid_ref[0], st_in[2][0])
-    st_out[3][0] = jnp.where(improved, instid_ref[0], st_in[3][0])
-    st_out[4][0] = jnp.where(improved, nwx, st_in[4][0])
-    st_out[5][0] = jnp.where(improved, nwy, st_in[5][0])
-    st_out[6][0] = jnp.where(improved, nwz, st_in[6][0])
-    st_out[7][0] = jnp.where(improved, bu, st_in[7][0])
-    st_out[8][0] = jnp.where(improved, bv, st_in[8][0])
+    def as_f32_bits(x):
+        return pltpu.bitcast(x, jnp.float32)
+
+    def as_i32_bits(x):
+        return pltpu.bitcast(x, jnp.int32)
+
+    st_out[ST_T, 0] = bt
+    st_out[ST_VALID, 0] = as_f32_bits(
+        jnp.where(improved, 1, as_i32_bits(st_in[ST_VALID, 0]))
+    )
+    st_out[ST_MAT, 0] = as_f32_bits(
+        jnp.where(improved, matid_ref[0], as_i32_bits(st_in[ST_MAT, 0]))
+    )
+    st_out[ST_INST, 0] = as_f32_bits(
+        jnp.where(improved, instid_ref[0], as_i32_bits(st_in[ST_INST, 0]))
+    )
+    st_out[ST_NX, 0] = jnp.where(improved, nwx, st_in[ST_NX, 0])
+    st_out[ST_NY, 0] = jnp.where(improved, nwy, st_in[ST_NY, 0])
+    st_out[ST_NZ, 0] = jnp.where(improved, nwz, st_in[ST_NZ, 0])
+    st_out[ST_U, 0] = jnp.where(improved, bu, st_in[ST_U, 0])
+    st_out[ST_V, 0] = jnp.where(improved, bv, st_in[ST_V, 0])
+
+
+def pack_rays(o_world, d_world) -> jnp.ndarray:
+    """Vec3 components (P, K) ×2 → ONE (6, P, 8, 128) buffer via
+    leading-axis concat (contiguous copies, no relayout). Build once per
+    bounce; every chunk call reuses it."""
+    p = o_world[0].shape[0]
+    return jnp.concatenate(
+        [x.reshape(1, p, K_SUB, K_LANE) for x in (*o_world, *d_world)],
+        axis=0,
+    )
 
 
 def pallas_closest_chain(
     scene, static, mesh_id: int, inst_id: int,
-    o_world, d_world,       # Vec3 of (P, K) world-space rays
+    rays: jnp.ndarray,      # (6, P, 8, 128) packed world rays (pack_rays)
     tmin: float,
     live: jnp.ndarray,      # (P,) int32 per-packet liveness (per bounce)
-    state: TraceState,
-) -> TraceState:
-    """One chunk's closest-hit, merged in place into ``state``."""
-    p, k = o_world[0].shape
-    assert k == PACKET_K
+    state: jnp.ndarray,     # (9, P, 8, 128) packed state (make_trace_state)
+) -> jnp.ndarray:
+    """One chunk's closest-hit, merged in place into the packed ``state``."""
+    p = rays.shape[1]
 
     end, boxes, meta, tris, normals = _mesh_tables(scene, static, mesh_id)
     w2o12 = scene.w2o[inst_id].reshape(12)
     matid = scene.materials[inst_id].reshape(1)
     instid = jnp.asarray([inst_id], jnp.int32)
-    rays = _ray_regs(o_world, d_world)
 
     kernel = functools.partial(_closest_kernel3, tmin=float(tmin))
-    blk = lambda i: (i, 0, 0)  # noqa: E731
-    vspec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
-    f32_out = jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.float32)
-    i32_out = jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32)
+    ray_spec = pl.BlockSpec((6, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((9, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
+                           memory_space=pltpu.VMEM)
 
-    n_inputs_before_state = 4 + 18 + 9 + 1 + 6  # end/w2o/mat/inst + tables + live + rays
-    aliases = {n_inputs_before_state + i: i for i in range(9)}
-
+    n_inputs_before_state = 4 + 27 + 1 + 1  # scalars + tables + live + rays
     out = pl.pallas_call(
         kernel,
         grid=(p,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_SMEM] * 4 + [_SMEM] * 27 + [_SMEM] + [vspec] * 6
-        + [vspec] * 9,
-        out_specs=[vspec] * 9,
-        out_shape=[f32_out, i32_out, i32_out, i32_out,
-                   f32_out, f32_out, f32_out, f32_out, f32_out],
-        input_output_aliases=aliases,
+        in_specs=[_SMEM] * 4 + [_SMEM] * 27 + [_SMEM, ray_spec, st_spec],
+        out_specs=st_spec,
+        out_shape=jax.ShapeDtypeStruct((9, p, K_SUB, K_LANE), jnp.float32),
+        input_output_aliases={n_inputs_before_state: 0},
     )(end, w2o12, matid, instid, *boxes, *meta, *tris, *normals, live,
-      *rays, *state)
-    return TraceState(*out)
+      rays, state)
+    return out
 
 
 def _anyhit_kernel3(*refs, tmin: float):
     """Chained occlusion: refs = [end, w2o(12), bx.., meta.., t0..t8, live,
-    ox..dz(world), tmax, occ_in, occ_out]."""
+    rays(6,1,8,128), tmax, occ_in, occ_out]."""
     end_ref, w2o_ref = refs[0], refs[1]
     bxs = refs[2:8]
     first_ref, count_ref, miss_ref = refs[8], refs[9], refs[10]
     T = refs[11:20]
     live_ref = refs[20]
-    ray_refs = refs[21:27]
-    tmax_ref = refs[27]
-    occ_in = refs[28]
-    occ_out = refs[29]
+    rays_ref = refs[21]
+    tmax_ref = refs[22]
+    occ_in = refs[23]
+    occ_out = refs[24]
     end = end_ref[0]
 
     m = [w2o_ref[i] for i in range(12)]
-    ow = [ray_refs[c][0] for c in range(3)]
-    dw = [ray_refs[3 + c][0] for c in range(3)]
+    ow = [rays_ref[c, 0] for c in range(3)]
+    dw = [rays_ref[3 + c, 0] for c in range(3)]
     o = [
         m[0] * ow[0] + m[1] * ow[1] + m[2] * ow[2] + m[3],
         m[4] * ow[0] + m[5] * ow[1] + m[6] * ow[2] + m[7],
@@ -710,28 +737,30 @@ def _anyhit_kernel3(*refs, tmin: float):
 
 def pallas_anyhit_chain(
     scene, static, mesh_id: int, inst_id: int,
-    o_world, d_world, tmin: float,
+    rays: jnp.ndarray,       # (6, P, 8, 128) packed world rays (pack_rays)
+    tmin: float,
     live: jnp.ndarray,       # (P,) int32
     tmax_reg: jnp.ndarray,   # (P, 8, 128) per-lane shadow window
     occ: jnp.ndarray,        # (P, 8, 128) int32, aliased in/out
 ) -> jnp.ndarray:
-    p = o_world[0].shape[0]
+    p = rays.shape[1]
     end, boxes, meta, tris, _normals = _mesh_tables(scene, static, mesh_id)
     w2o12 = scene.w2o[inst_id].reshape(12)
-    rays = _ray_regs(o_world, d_world)
 
     kernel = functools.partial(_anyhit_kernel3, tmin=float(tmin))
     blk = lambda i: (i, 0, 0)  # noqa: E731
     vspec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
-    n_before = 2 + 18 + 1 + 6 + 1  # end/w2o + tables + live + rays + tmax
+    ray_spec = pl.BlockSpec((6, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    n_before = 2 + 18 + 1 + 1 + 1  # end/w2o + tables + live + rays + tmax
     out = pl.pallas_call(
         kernel,
         grid=(p,),
         interpret=jax.default_backend() != "tpu",
-        in_specs=[_SMEM] * 2 + [_SMEM] * 18 + [_SMEM] + [vspec] * 6
-        + [vspec, vspec],
+        in_specs=[_SMEM] * 2 + [_SMEM] * 18 + [_SMEM]
+        + [ray_spec, vspec, vspec],
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
         input_output_aliases={n_before: 0},
-    )(end, w2o12, *boxes, *meta, *tris, live, *rays, tmax_reg, occ)
+    )(end, w2o12, *boxes, *meta, *tris, live, rays, tmax_reg, occ)
     return out
