@@ -352,11 +352,17 @@ def render_pixels(
     camera: jnp.ndarray,
     pix: jnp.ndarray,  # (R, 2)
 ) -> jnp.ndarray:
+    from raytpu.ops.traverse_pallas import PACK_N
+
     r = pix.shape[0]
     k = min(rs.packet_size, r)
     pad = (-r) % k
     px = jnp.pad(pix[:, 0], (0, pad)).reshape(-1, k)
     py = jnp.pad(pix[:, 1], (0, pad)).reshape(-1, k)
+    ppad = (-px.shape[0]) % PACK_N
+    if ppad:
+        px = jnp.concatenate([px, jnp.zeros((ppad, k), px.dtype)])
+        py = jnp.concatenate([py, jnp.zeros((ppad, k), py.dtype)])
     active0 = (
         jnp.arange(px.size, dtype=jnp.int32).reshape(px.shape) < r
     )
@@ -385,6 +391,24 @@ def _tiled_pixels(rs: RenderStatic):
     )
     px = jnp.minimum(xs, rs.width - 1).astype(jnp.float32)
     py = jnp.minimum(ys, rs.height - 1).astype(jnp.float32)
+
+    # pad the packet count to a PACK_N multiple (the Pallas kernels process
+    # PACK_N packets per grid step); padding packets are fully dead
+    from raytpu.ops.traverse_pallas import PACK_N
+
+    p = px.shape[0]
+    pad = (-p) % PACK_N
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad, px.shape[1]), px.dtype)])
+        py = jnp.concatenate([py, jnp.zeros((pad, py.shape[1]), py.dtype)])
+        in_frame = jnp.concatenate(
+            [in_frame, jnp.zeros((pad, in_frame.shape[1]), bool)]
+        )
+        flat_idx = jnp.concatenate(
+            [flat_idx,
+             jnp.full((pad, flat_idx.shape[1]), rs.width * rs.height,
+                      jnp.int32)]
+        )
     return (px, py), flat_idx, in_frame
 
 
@@ -428,11 +452,13 @@ def render_frame(
 
     # structural detile (pure reshape/transpose — no scatter): packets are
     # (Ht*Wt) tiles of (tile*tile) pixels in row-major intra-tile order
+    # (PACK_N padding packets are sliced away first)
     t = rs.tile
     h_t = -(-rs.height // t)
     w_t = -(-rs.width // t)
     planes = [
-        c.reshape(h_t, w_t, t, t)
+        c[: h_t * w_t]
+        .reshape(h_t, w_t, t, t)
         .transpose(0, 2, 1, 3)
         .reshape(h_t * t, w_t * t)[: rs.height, : rs.width]
         for c in colors

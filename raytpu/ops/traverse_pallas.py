@@ -43,6 +43,8 @@ BIG_T = 3.0e38  # python float: jnp scalars would be captured consts in kernels
 LEAF_UNROLL = 4
 K_SUB, K_LANE = 8, 128           # packet register shape
 PACKET_K = K_SUB * K_LANE        # 1024 rays per packet
+PACK_N = 4                       # packets per grid step (amortizes the
+                                 # per-step kernel-invocation floor)
 
 # SMEM residency budget for one mesh's BVH (bytes); the core exposes 1MB
 # exactly (compile error beyond 1048576) — leave headroom for the scalar
@@ -513,8 +515,21 @@ def _closest_kernel3(*refs, tmin: float):
 
     m = [w2o_ref[i] for i in range(12)]  # row-major 3x4 world→object
 
-    ow = [rays_ref[c, 0] for c in range(3)]
-    dw = [rays_ref[3 + c, 0] for c in range(3)]
+    # PACK_N packets per grid step: the per-step invocation floor
+    # (~0.5µs) amortizes over PACK_N traversals
+    for jp in range(PACK_N):
+        _closest_one_packet(
+            end, m, matid_ref, instid_ref, bxs,
+            first_ref, count_ref, miss_ref, T, N,
+            live_ref, rays_ref, st_in, st_out, jp, tmin,
+        )
+
+
+def _closest_one_packet(end, m, matid_ref, instid_ref, bxs,
+                        first_ref, count_ref, miss_ref, T, N,
+                        live_ref, rays_ref, st_in, st_out, jp, tmin):
+    ow = [rays_ref[c, jp] for c in range(3)]
+    dw = [rays_ref[3 + c, jp] for c in range(3)]
     # world→object, in registers (t stays world-parameterized)
     o = [
         m[0] * ow[0] + m[1] * ow[1] + m[2] * ow[2] + m[3],
@@ -531,9 +546,9 @@ def _closest_kernel3(*refs, tmin: float):
         for x in d
     ]
 
-    bt0 = st_in[ST_T, 0]  # running best t (doubles as the prune window)
+    bt0 = st_in[ST_T, jp]  # running best t (doubles as the prune window)
 
-    node0 = jnp.where(live_ref[pl.program_id(0)] != 0,
+    node0 = jnp.where(live_ref[pl.program_id(0) * PACK_N + jp] != 0,
                       jnp.int32(0), jnp.int32(end))
 
     def cond(state):
@@ -604,21 +619,21 @@ def _closest_kernel3(*refs, tmin: float):
     def as_i32_bits(x):
         return pltpu.bitcast(x, jnp.int32)
 
-    st_out[ST_T, 0] = bt
-    st_out[ST_VALID, 0] = as_f32_bits(
-        jnp.where(improved, 1, as_i32_bits(st_in[ST_VALID, 0]))
+    st_out[ST_T, jp] = bt
+    st_out[ST_VALID, jp] = as_f32_bits(
+        jnp.where(improved, 1, as_i32_bits(st_in[ST_VALID, jp]))
     )
-    st_out[ST_MAT, 0] = as_f32_bits(
-        jnp.where(improved, matid_ref[0], as_i32_bits(st_in[ST_MAT, 0]))
+    st_out[ST_MAT, jp] = as_f32_bits(
+        jnp.where(improved, matid_ref[0], as_i32_bits(st_in[ST_MAT, jp]))
     )
-    st_out[ST_INST, 0] = as_f32_bits(
-        jnp.where(improved, instid_ref[0], as_i32_bits(st_in[ST_INST, 0]))
+    st_out[ST_INST, jp] = as_f32_bits(
+        jnp.where(improved, instid_ref[0], as_i32_bits(st_in[ST_INST, jp]))
     )
-    st_out[ST_NX, 0] = jnp.where(improved, nwx, st_in[ST_NX, 0])
-    st_out[ST_NY, 0] = jnp.where(improved, nwy, st_in[ST_NY, 0])
-    st_out[ST_NZ, 0] = jnp.where(improved, nwz, st_in[ST_NZ, 0])
-    st_out[ST_U, 0] = jnp.where(improved, bu, st_in[ST_U, 0])
-    st_out[ST_V, 0] = jnp.where(improved, bv, st_in[ST_V, 0])
+    st_out[ST_NX, jp] = jnp.where(improved, nwx, st_in[ST_NX, jp])
+    st_out[ST_NY, jp] = jnp.where(improved, nwy, st_in[ST_NY, jp])
+    st_out[ST_NZ, jp] = jnp.where(improved, nwz, st_in[ST_NZ, jp])
+    st_out[ST_U, jp] = jnp.where(improved, bu, st_in[ST_U, jp])
+    st_out[ST_V, jp] = jnp.where(improved, bv, st_in[ST_V, jp])
 
 
 def pack_rays(o_world, d_world) -> jnp.ndarray:
@@ -647,16 +662,17 @@ def pallas_closest_chain(
     matid = scene.materials[inst_id].reshape(1)
     instid = jnp.asarray([inst_id], jnp.int32)
 
+    assert p % PACK_N == 0, f"packet count {p} must be a multiple of {PACK_N}"
     kernel = functools.partial(_closest_kernel3, tmin=float(tmin))
-    ray_spec = pl.BlockSpec((6, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
+    ray_spec = pl.BlockSpec((6, PACK_N, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
-    st_spec = pl.BlockSpec((9, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
+    st_spec = pl.BlockSpec((9, PACK_N, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
                            memory_space=pltpu.VMEM)
 
     n_inputs_before_state = 4 + 27 + 1 + 1  # scalars + tables + live + rays
     out = pl.pallas_call(
         kernel,
-        grid=(p,),
+        grid=(p // PACK_N,),
         interpret=jax.default_backend() != "tpu",
         in_specs=[_SMEM] * 4 + [_SMEM] * 27 + [_SMEM, ray_spec, st_spec],
         out_specs=st_spec,
@@ -669,7 +685,7 @@ def pallas_closest_chain(
 
 def _anyhit_kernel3(*refs, tmin: float):
     """Chained occlusion: refs = [end, w2o(12), bx.., meta.., t0..t8, live,
-    rays(6,1,8,128), tmax, occ_in, occ_out]."""
+    rays(6,PACK_N,8,128), tmax, occ_in, occ_out]."""
     end_ref, w2o_ref = refs[0], refs[1]
     bxs = refs[2:8]
     first_ref, count_ref, miss_ref = refs[8], refs[9], refs[10]
@@ -682,8 +698,17 @@ def _anyhit_kernel3(*refs, tmin: float):
     end = end_ref[0]
 
     m = [w2o_ref[i] for i in range(12)]
-    ow = [rays_ref[c, 0] for c in range(3)]
-    dw = [rays_ref[3 + c, 0] for c in range(3)]
+    for jp in range(PACK_N):
+        _anyhit_one_packet(end, m, bxs, first_ref, count_ref, miss_ref, T,
+                           live_ref, rays_ref, tmax_ref, occ_in, occ_out,
+                           jp, tmin)
+
+
+def _anyhit_one_packet(end, m, bxs, first_ref, count_ref, miss_ref, T,
+                       live_ref, rays_ref, tmax_ref, occ_in, occ_out,
+                       jp, tmin):
+    ow = [rays_ref[c, jp] for c in range(3)]
+    dw = [rays_ref[3 + c, jp] for c in range(3)]
     o = [
         m[0] * ow[0] + m[1] * ow[1] + m[2] * ow[2] + m[3],
         m[4] * ow[0] + m[5] * ow[1] + m[6] * ow[2] + m[7],
@@ -698,11 +723,11 @@ def _anyhit_kernel3(*refs, tmin: float):
         jnp.where(x != 0.0, 1.0 / x, jnp.where(x >= 0, jnp.inf, -jnp.inf))
         for x in d
     ]
-    tmax = tmax_ref[0]
-    occ0 = occ_in[0]
+    tmax = tmax_ref[jp]
+    occ0 = occ_in[jp]
     live0 = tmax > tmin
 
-    node0 = jnp.where(live_ref[pl.program_id(0)] != 0,
+    node0 = jnp.where(live_ref[pl.program_id(0) * PACK_N + jp] != 0,
                       jnp.int32(0), jnp.int32(end))
 
     def cond(state):
@@ -732,7 +757,7 @@ def _anyhit_kernel3(*refs, tmin: float):
         return nxt, occluded
 
     _, occluded = jax.lax.while_loop(cond, body, (node0, occ0))
-    occ_out[0] = occluded
+    occ_out[jp] = occluded
 
 
 def pallas_anyhit_chain(
@@ -747,15 +772,16 @@ def pallas_anyhit_chain(
     end, boxes, meta, tris, _normals = _mesh_tables(scene, static, mesh_id)
     w2o12 = scene.w2o[inst_id].reshape(12)
 
+    assert p % PACK_N == 0, f"packet count {p} must be a multiple of {PACK_N}"
     kernel = functools.partial(_anyhit_kernel3, tmin=float(tmin))
-    blk = lambda i: (i, 0, 0)  # noqa: E731
-    vspec = pl.BlockSpec((1, K_SUB, K_LANE), blk, memory_space=pltpu.VMEM)
-    ray_spec = pl.BlockSpec((6, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
+    vspec = pl.BlockSpec((PACK_N, K_SUB, K_LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((6, PACK_N, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
                             memory_space=pltpu.VMEM)
     n_before = 2 + 18 + 1 + 1 + 1  # end/w2o + tables + live + rays + tmax
     out = pl.pallas_call(
         kernel,
-        grid=(p,),
+        grid=(p // PACK_N,),
         interpret=jax.default_backend() != "tpu",
         in_specs=[_SMEM] * 2 + [_SMEM] * 18 + [_SMEM]
         + [ray_spec, vspec, vspec],
