@@ -9,6 +9,8 @@ through BVH traversal instead of brute force.
 
 from __future__ import annotations
 
+import dataclasses
+
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -144,15 +146,20 @@ def attach_bvh(
         for chunk in mesh_chunks[mesh_id]
     )
 
-    static_out = SceneStatic(
-        mesh_prim_ranges=static.mesh_prim_ranges,
-        instance_mesh=static.instance_mesh,
+    # the Pallas kernels pad every chunk's tables to the cross-chunk MAX
+    # sizes (one compiled kernel serves all chunks), so SMEM fitness must be
+    # judged on the padded sizes, not per chunk
+    max_nodes = max((n for _, n in node_ranges), default=0)
+    max_tris = max((t for _, t in tri_ranges), default=0)
+    padded_fit = fits_smem(max_nodes, max_tris)
+
+    # replace() keeps every field not owned by the BVH stage (e.g. sky_hw)
+    static_out = dataclasses.replace(
+        static,
         mesh_node_ranges=tuple(node_ranges),
         mesh_bvh_tri_ranges=tuple(tri_ranges),
         traversal=cfg.traversal,
-        mesh_pallas_ok=tuple(
-            fits_smem(n, t) for (_, n), (_, t) in zip(node_ranges, tri_ranges)
-        ),
+        mesh_pallas_ok=tuple(padded_fit for _ in node_ranges),
         trav_instances=trav_instances,
     )
     return dev, static_out

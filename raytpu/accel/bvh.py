@@ -150,7 +150,6 @@ def _median_split(cent: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:
     if part.sum() in (0, len(idx)):
         # degenerate median (many equal values): split by order statistics
         half = len(idx) // 2
-        part = np.argsort(c[:, axis], kind="stable") < half
         order = np.argsort(c[:, axis], kind="stable")
         part = np.zeros(len(idx), bool)
         part[order[:half]] = True

@@ -138,10 +138,16 @@ class Camera:
     # --- state checkpointing (no reference analog — the reference loses all
     # camera state on exit; SURVEY.md §5 "checkpoint/resume") ---
     def state_dict(self) -> dict:
+        # the basis is serialized explicitly: look() sets front/up/right
+        # WITHOUT touching yaw/pitch (faithful to src/camera.cpp:108-143),
+        # so yaw/pitch alone cannot reconstruct a post-look() pose
         return {
             "position": [float(x) for x in self.position],
             "yaw": float(self.yaw),
             "pitch": float(self.pitch),
+            "front": [float(x) for x in self.front],
+            "up": [float(x) for x in self.up],
+            "right": [float(x) for x in self.right],
         }
 
     @classmethod
@@ -150,6 +156,9 @@ class Camera:
         cam.yaw = float(state["yaw"])
         cam.pitch = float(state["pitch"])
         cam._update_vectors()
+        for name in ("front", "up", "right"):
+            if name in state:
+                setattr(cam, name, np.asarray(state[name], dtype=np.float64))
         return cam
 
     def save(self, path: str) -> None:

@@ -33,8 +33,15 @@ _MATERIALS = {
 
 
 def _parse_mesh_spec(spec: str) -> ObjectConfig:
-    """``path[:material[:animation]]`` → ObjectConfig."""
-    parts = spec.split(":")
+    """``path[:material[:animation]]`` → ObjectConfig.
+
+    The path may itself contain a URI scheme (``generated://armadillo``),
+    so the split skips past any ``://``.
+    """
+    scheme_end = spec.find("://")
+    tail_start = scheme_end + 3 if scheme_end >= 0 else 0
+    tail = spec[tail_start:].split(":")
+    parts = [spec[:tail_start] + tail[0]] + tail[1:]
     path = parts[0]
     if len(parts) > 1 and parts[1].lower() not in _MATERIALS:
         raise SystemExit(

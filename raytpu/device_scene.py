@@ -48,16 +48,15 @@ class DeviceScene(NamedTuple):
     w2o: jnp.ndarray        # (N, 3, 4) world→object
     materials: jnp.ndarray  # (N,) int32 (0 diffuse / 1 mirror / 2 refract)
 
-    # environment + lighting (UBO analog, src/main.cpp:1847-1873)
-    skybox: jnp.ndarray           # (6, H, W, 3) float32
+    # environment + lighting (UBO analog, src/main.cpp:1847-1873); the
+    # float skybox stays HOST-side — the device carries only the packed
+    # uint32 maps below (the float (6,H,W,3) + SoA planes were ~600MB of
+    # dead HBM at reference resolution). Face dims live in SceneStatic.
     light_pos: jnp.ndarray        # (3,)
     light_intensity: jnp.ndarray  # () scalar
 
-    # component-SoA mirrors for the TPU wave path (see ops/vec3.py):
-    # shading normals as 9 contiguous per-component tables, skybox as 3
-    # channel planes — gathers from 1-D arrays tile perfectly
+    # component-SoA shading-normal tables (see ops/vec3.py)
     tri_n_soa: Optional[jnp.ndarray] = None    # (9, T): n0x n0y n0z n1x ... n2z
-    skybox_soa: Optional[jnp.ndarray] = None   # (3, 6*H*W)
     # skybox packed RGB8 into one uint32 word per texel: ONE gather per
     # bilinear tap instead of three (XLA TPU gathers cost ~7ns/lane each)
     skybox_u32: Optional[jnp.ndarray] = None   # (6*H*W,) uint32
@@ -113,6 +112,8 @@ class SceneStatic:
     # BLAS (raytpu/accel/chunking.py) one logical mesh contributes several
     # traversal meshes; empty = derive 1:1 from instance_mesh.
     trav_instances: Tuple[Tuple[int, int], ...] = ()
+    # skybox face dimensions (H, W) — the float cube map itself is host-only
+    sky_hw: Tuple[int, int] = (1, 1)
 
     @property
     def traversal_list(self) -> Tuple[Tuple[int, int], ...]:
@@ -157,9 +158,6 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
     tri_n_soa = np.ascontiguousarray(
         np.concatenate([n0.T, n1.T, n2.T], axis=0).astype(np.float32)
     )  # (9, T)
-    skybox_soa = np.ascontiguousarray(
-        skybox.transpose(3, 0, 1, 2).reshape(3, -1).astype(np.float32)
-    )  # (3, 6*H*W)
     sky8 = np.clip(skybox * 255.0 + 0.5, 0, 255).astype(np.uint32)
     skybox_u32 = (
         sky8[..., 0] | (sky8[..., 1] << 8) | (sky8[..., 2] << 16)
@@ -204,11 +202,9 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         o2w=jnp.asarray(o2w),
         w2o=jnp.asarray(w2o),
         materials=jnp.asarray(scene.material_types),
-        skybox=jnp.asarray(skybox),
         light_pos=jnp.asarray(scene.config.light_position, jnp.float32),
         light_intensity=jnp.asarray(scene.config.light_intensity, jnp.float32),
         tri_n_soa=jnp.asarray(tri_n_soa),
-        skybox_soa=jnp.asarray(skybox_soa),
         skybox_u32=jnp.asarray(skybox_u32),
         skybox_u32_2x=jnp.asarray(skybox_u32_2x),
     )
@@ -221,5 +217,6 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
     static = SceneStatic(
         mesh_prim_ranges=tuple(prim_ranges),
         instance_mesh=tuple(inst.mesh_id for inst in scene.instances),
+        sky_hw=(int(skybox.shape[1]), int(skybox.shape[2])),
     )
     return dev, static

@@ -198,7 +198,7 @@ def _trace_sample(
     amb = shade.ambient_tuple()
     tmp = tuple(jnp.full((p, k), c, jnp.float32) for c in amb)  # :81
     decay = SAMPLE_DECAY ** sample_idx.astype(jnp.float32)  # 0.9^i quirk :128
-    sky_h, sky_w = scene.skybox.shape[1], scene.skybox.shape[2]
+    sky_h, sky_w = static.sky_hw
     zero = jnp.zeros((p, k), jnp.float32)
     # DEFERRED skybox: each lane misses at most once, so record the miss
     # direction during the loop and do the (expensive, per-lane-gather)
@@ -431,7 +431,11 @@ def render_frame(
 
     chunk_packets = 0
     if rs.ray_chunk:
+        from raytpu.ops.traverse_pallas import PACK_N
+
         chunk_packets = max(1, rs.ray_chunk // rs.packet_size)
+        # the Pallas chain kernels require PACK_N-multiple packet counts
+        chunk_packets = -(-chunk_packets // PACK_N) * PACK_N
     if chunk_packets and chunk_packets < p:
         pad = (-p) % chunk_packets
         pad3 = ((0, pad), (0, 0))

@@ -28,7 +28,14 @@ import jax
 import jax.numpy as jnp
 
 DET_EPS = 1e-9
-BIG_T = jnp.float32(3.0e38)
+# Sentinel "no hit" distance. A PYTHON float on purpose: Pallas kernels that
+# close over a jnp scalar would capture it as a constant operand ("captures
+# constants [f32[]]" error); python floats weakly type to f32 everywhere.
+BIG_T = 3.0e38
+# Max triangles tested per BVH leaf; traversal loops (XLA + Pallas) unroll
+# exactly this many intersection tests per leaf visit, and builders must not
+# emit larger leaves (enforced in raytpu/accel/__init__.py).
+LEAF_UNROLL = 4
 
 
 class Hit(NamedTuple):

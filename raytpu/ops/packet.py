@@ -25,9 +25,8 @@ import jax.numpy as jnp
 
 from raytpu.device_scene import DeviceScene, SceneStatic
 from raytpu.ops import vec3 as v3
+from raytpu.ops.intersect import BIG_T, LEAF_UNROLL
 
-BIG_T = 3.0e38
-LEAF_UNROLL = 4
 
 
 def _inv_dir(d):

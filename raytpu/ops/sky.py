@@ -18,10 +18,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def cube_face_st(dirs: jnp.ndarray):
-    """Map directions (..., 3) → (face (...,) int32, s (...,), t (...,)).
+def face_st(x, y, z):
+    """GL cube-map major-axis table on per-component arrays.
 
-    Implements the GL cube-map major-axis table:
+    Maps direction components (any matching shapes) → ``(face, s, t)``:
 
     ====  ========  ========
     face  sc        tc
@@ -34,11 +34,10 @@ def cube_face_st(dirs: jnp.ndarray):
     -Z    -x        -y
     ====  ========  ========
 
-    ``s = (sc/|ma| + 1)/2``, ``t = (tc/|ma| + 1)/2``.
+    ``s = (sc/|ma| + 1)/2``, ``t = (tc/|ma| + 1)/2``. The single source of
+    the face math shared by all sampler variants below.
     """
-    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
     ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
-
     is_x = (ax >= ay) & (ax >= az)
     is_y = (~is_x) & (ay >= az)
     # else Z
@@ -49,8 +48,7 @@ def cube_face_st(dirs: jnp.ndarray):
         jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
     ).astype(jnp.int32)
 
-    ma = jnp.where(is_x, ax, jnp.where(is_y, ay, az))
-    ma = jnp.maximum(ma, 1e-30)
+    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-30)
 
     sc = jnp.where(
         is_x,
@@ -64,6 +62,40 @@ def cube_face_st(dirs: jnp.ndarray):
     return face, s, t
 
 
+def cube_face_st(dirs: jnp.ndarray):
+    """Map directions (..., 3) → (face (...,) int32, s (...,), t (...,))."""
+    return face_st(dirs[..., 0], dirs[..., 1], dirs[..., 2])
+
+
+def _bilinear_coords(s, t, h: int, w: int):
+    """Half-texel-centered bilinear taps with clamp-to-edge addressing
+    (sampler config ``src/main.cpp:2393-2406``).
+
+    Returns ``(x0c, x1c, y0c, y1c, wx, wy)``.
+    """
+    fx = s * w - 0.5
+    fy = t * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    return x0c, x1c, y0c, y1c, wx, wy
+
+
+def _unpack_rgb8(word):
+    """uint32 (R | G<<8 | B<<16) → float RGB tuple in [0, 1]."""
+    inv = jnp.float32(1.0 / 255.0)
+    return (
+        (word & 0xFF).astype(jnp.float32) * inv,
+        ((word >> 8) & 0xFF).astype(jnp.float32) * inv,
+        ((word >> 16) & 0xFF).astype(jnp.float32) * inv,
+    )
+
+
 def sample_cubemap_u32_nearest(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
     """Single-tap lookup into a packed RGB8 cube map: ONE gather per lane.
 
@@ -71,33 +103,11 @@ def sample_cubemap_u32_nearest(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
     bilinear filtering with weights quantized to the half-texel grid — a
     quarter-texel max error — at a quarter of the gather cost.
     """
-    x, y, z = dirs
-    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
-    is_x = (ax >= ay) & (ax >= az)
-    is_y = (~is_x) & (ay >= az)
-    face = jnp.where(
-        is_x,
-        jnp.where(x >= 0, 0, 1),
-        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
-    ).astype(jnp.int32)
-    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-30)
-    sc = jnp.where(
-        is_x,
-        jnp.where(x >= 0, -z, z),
-        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
-    )
-    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
-    s = 0.5 * (sc / ma + 1.0)
-    t = 0.5 * (tc / ma + 1.0)
+    face, s, t = face_st(*dirs)
     xc = jnp.clip(jnp.floor(s * w).astype(jnp.int32), 0, w - 1)
     yc = jnp.clip(jnp.floor(t * h).astype(jnp.int32), 0, h - 1)
     word = jnp.take(skybox_u32, face * (h * w) + yc * w + xc, axis=0)
-    inv = jnp.float32(1.0 / 255.0)
-    return (
-        (word & 0xFF).astype(jnp.float32) * inv,
-        ((word >> 8) & 0xFF).astype(jnp.float32) * inv,
-        ((word >> 16) & 0xFF).astype(jnp.float32) * inv,
-    )
+    return _unpack_rgb8(word)
 
 
 def sample_cubemap_u32(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
@@ -111,45 +121,12 @@ def sample_cubemap_u32(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
     ``skybox_u32``: (6·H·W,) uint32 (R | G<<8 | B<<16); ``dirs``: Vec3.
     Returns a Vec3 of linear RGB in [0, 1].
     """
-    x, y, z = dirs
-    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
-    is_x = (ax >= ay) & (ax >= az)
-    is_y = (~is_x) & (ay >= az)
-    face = jnp.where(
-        is_x,
-        jnp.where(x >= 0, 0, 1),
-        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
-    ).astype(jnp.int32)
-    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-30)
-    sc = jnp.where(
-        is_x,
-        jnp.where(x >= 0, -z, z),
-        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
-    )
-    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
-    s = 0.5 * (sc / ma + 1.0)
-    t = 0.5 * (tc / ma + 1.0)
-
-    fx = s * w - 0.5
-    fy = t * h - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    wx = fx - x0
-    wy = fy - y0
-    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    face, s, t = face_st(*dirs)
+    x0c, x1c, y0c, y1c, wx, wy = _bilinear_coords(s, t, h, w)
     base = face * (h * w)
 
     def tap(yc, xc):
-        word = jnp.take(skybox_u32, base + yc * w + xc, axis=0)
-        inv = jnp.float32(1.0 / 255.0)
-        return (
-            (word & 0xFF).astype(jnp.float32) * inv,
-            ((word >> 8) & 0xFF).astype(jnp.float32) * inv,
-            ((word >> 16) & 0xFF).astype(jnp.float32) * inv,
-        )
+        return _unpack_rgb8(jnp.take(skybox_u32, base + yc * w + xc, axis=0))
 
     c00 = tap(y0c, x0c)
     c01 = tap(y0c, x1c)
@@ -164,42 +141,16 @@ def sample_cubemap_u32(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
 
 
 def sample_cubemap_soa(skybox_soa: jnp.ndarray, h: int, w: int, dirs):
-    """Component-SoA bilinear cube-map lookup (the TPU wave-path variant).
+    """Component-SoA bilinear cube-map lookup from float channel planes.
 
     ``skybox_soa``: (3, 6·H·W) float32 channel planes; ``dirs``: a Vec3
     (tuple of 3 same-shape arrays). Returns a Vec3 of linear RGB. Gathers
     are per-channel from contiguous 1-D planes — the layout-friendly form
-    (see ops/vec3.py).
+    (see ops/vec3.py). Kept for full-precision comparisons; the render path
+    uses the packed-u32 variants above.
     """
-    x, y, z = dirs
-    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
-    is_x = (ax >= ay) & (ax >= az)
-    is_y = (~is_x) & (ay >= az)
-    face = jnp.where(
-        is_x,
-        jnp.where(x >= 0, 0, 1),
-        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
-    ).astype(jnp.int32)
-    ma = jnp.maximum(jnp.where(is_x, ax, jnp.where(is_y, ay, az)), 1e-30)
-    sc = jnp.where(
-        is_x,
-        jnp.where(x >= 0, -z, z),
-        jnp.where(is_y, x, jnp.where(z >= 0, x, -x)),
-    )
-    tc = jnp.where(is_y, jnp.where(y >= 0, z, -z), -y)
-    s = 0.5 * (sc / ma + 1.0)
-    t = 0.5 * (tc / ma + 1.0)
-
-    fx = s * w - 0.5
-    fy = t * h - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    wx = fx - x0
-    wy = fy - y0
-    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    face, s, t = face_st(*dirs)
+    x0c, x1c, y0c, y1c, wx, wy = _bilinear_coords(s, t, h, w)
     base = face * (h * w)
 
     i00 = base + y0c * w + x0c
@@ -221,7 +172,7 @@ def sample_cubemap_soa(skybox_soa: jnp.ndarray, h: int, w: int, dirs):
 
 
 def sample_cubemap(skybox: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear cube-map lookup.
+    """Bilinear cube-map lookup (AoS reference form, used by the oracle/tests).
 
     ``skybox``: (6, H, W, 3) float32 in face order +X,−X,+Y,−Y,+Z,−Z;
     ``dirs``: (R, 3) directions (need not be normalized — face math is
@@ -229,20 +180,9 @@ def sample_cubemap(skybox: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """
     faces, s, t = cube_face_st(dirs)
     h, w = skybox.shape[1], skybox.shape[2]
-
-    # half-texel-centered bilinear with clamp-to-edge (sampler config
-    # src/main.cpp:2393-2406)
-    fx = s * w - 0.5
-    fy = t * h - 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    wx = (fx - x0)[..., None]
-    wy = (fy - y0)[..., None]
-
-    x0c = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    x1c = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    y0c = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    y1c = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    x0c, x1c, y0c, y1c, wx, wy = _bilinear_coords(s, t, h, w)
+    wx = wx[..., None]
+    wy = wy[..., None]
 
     flat = skybox.reshape(-1, 3)
     base = faces * (h * w)

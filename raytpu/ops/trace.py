@@ -320,7 +320,9 @@ def _all_pallas(static: SceneStatic, k: int) -> bool:
     from raytpu.ops.traverse_pallas import PACKET_K
 
     if static.traversal == "pallas":
-        return bool(static.mesh_pallas_ok) or True
+        # forced (interpret mode off-TPU); still needs a BVH and the
+        # kernel's packet width
+        return static.has_bvh and k == PACKET_K
     if static.traversal != "auto" or not static.has_bvh:
         return False
     if k != PACKET_K or not static.mesh_pallas_ok:

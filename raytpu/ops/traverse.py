@@ -33,10 +33,15 @@ import jax
 import jax.numpy as jnp
 
 from raytpu.device_scene import DeviceScene, SceneStatic
-from raytpu.ops.intersect import BIG_T, moller_trumbore, ray_aabb, safe_inverse
+from raytpu.ops.intersect import (
+    BIG_T,
+    LEAF_UNROLL,
+    moller_trumbore,
+    ray_aabb,
+    safe_inverse,
+)
 
 # triangles tested per leaf visit; must be ≥ the builder's leaf_size
-LEAF_UNROLL = 4
 
 
 def _leaf_intersect(

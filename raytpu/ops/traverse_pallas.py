@@ -39,8 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG_T = 3.0e38  # python float: jnp scalars would be captured consts in kernels
-LEAF_UNROLL = 4
+from raytpu.ops.intersect import BIG_T, LEAF_UNROLL
+
 K_SUB, K_LANE = 8, 128           # packet register shape
 PACKET_K = K_SUB * K_LANE        # 1024 rays per packet
 PACK_N = 4                       # packets per grid step (amortizes the

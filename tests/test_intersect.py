@@ -46,7 +46,7 @@ def test_miss_outside_and_behind():
         1e-3, jnp.float32(1e4),
     )
     assert not bool(hit[0]) and not bool(hit[1])
-    assert float(t[0]) == float(BIG_T)
+    assert float(t[0]) == float(jnp.float32(BIG_T))
 
 
 def test_tmin_tmax_window():

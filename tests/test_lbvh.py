@@ -63,7 +63,7 @@ def test_lbvh_traversal_matches_brute():
         tri_n0=zeros3, tri_n1=zeros3, tri_n2=zeros3,
         o2w=jnp.zeros((1, 3, 4)), w2o=jnp.zeros((1, 3, 4)),
         materials=jnp.zeros((1,), jnp.int32),
-        skybox=jnp.zeros((6, 1, 1, 3)), light_pos=jnp.zeros(3),
+        light_pos=jnp.zeros(3),
         light_intensity=jnp.asarray(1.0),
         bvh_aabb_min=jnp.asarray(bvh.aabb_min),
         bvh_aabb_max=jnp.asarray(bvh.aabb_max),
