@@ -93,11 +93,15 @@ class RenderConfig:
     test_fps: bool = False                    # uncapped frame loop + FPS print
     validation: bool = False                  # NaN/finite guards on the render path
 
-    # skybox filter: "bilinear2x" (default: one gather into a 2x-prefiltered
-    # map — max quarter-texel error vs true bilinear, 4x fewer of the
-    # gather ops that dominate at high resolution), "bilinear" (exact
-    # reference semantics, 4 gathers), "nearest" (1 gather, unfiltered)
-    skybox_filter: str = "bilinear2x"
+    # skybox filter: "bilinear" (default: the reference's LINEAR-sampler
+    # semantics — on TPU this rides the MXU texture unit, ops/sky_mxu.py,
+    # at single-tap cost; 4 gathers on the fallback/CPU path), "bilinear2x"
+    # (one gather into a 2x-prefiltered map — max quarter-texel error vs
+    # true bilinear), "nearest" (1 gather, unfiltered)
+    skybox_filter: str = "bilinear"
+    # deferred-sky sampler: "auto" (MXU texture unit on TPU when the map and
+    # packet shape allow, else gather), "gather", or "mxu" (forced)
+    sky_sampler: str = "auto"
 
     # --- TPU-specific knobs (no reference analog; tuning surface) ---
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame

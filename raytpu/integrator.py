@@ -50,8 +50,20 @@ from raytpu.config import (
 from raytpu.device_scene import DeviceScene, SceneStatic
 from raytpu.ops import shade
 from raytpu.ops import vec3 as v3
+from raytpu.ops import sky_mxu
 from raytpu.ops.sky import sample_cubemap_u32, sample_cubemap_u32_nearest
 from raytpu.ops.trace import any_hit_wave, closest_hit_wave
+
+
+def _use_mxu_sky(rs: "RenderStatic", k: int, h: int, w: int) -> bool:
+    """Route the deferred sky fetch through the MXU texture unit?
+
+    "auto" enables it on real TPU backends only — the interpret-mode kernel
+    is a per-packet Python loop, far slower than the XLA gather on CPU.
+    """
+    if rs.sky_sampler == "gather" or not sky_mxu.mxu_supported(h, w, k):
+        return False
+    return rs.sky_sampler == "mxu" or jax.default_backend() == "tpu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,7 +75,8 @@ class RenderStatic:
     samples_per_pixel: int
     max_bounce_count: int
     ray_chunk: int = 0     # rays per chunk (grouped whole packets); 0 = all
-    skybox_filter: str = "bilinear2x"  # see RenderConfig.skybox_filter
+    skybox_filter: str = "bilinear"  # see RenderConfig.skybox_filter
+    sky_sampler: str = "auto"  # "auto" | "gather" | "mxu" (ops/sky_mxu.py)
     fold_spp: bool = True  # trace all spp waves in one folded sweep
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
                            # 1024 = one native (8,128) VPU register — the
@@ -74,12 +87,18 @@ class RenderStatic:
         return self.tile * self.tile
 
     VALID_SKYBOX_FILTERS = ("bilinear2x", "bilinear", "nearest")
+    VALID_SKY_SAMPLERS = ("auto", "gather", "mxu")
 
     def __post_init__(self):
         if self.skybox_filter not in self.VALID_SKYBOX_FILTERS:
             raise ValueError(
                 f"unknown skybox_filter {self.skybox_filter!r}; "
                 f"use one of {self.VALID_SKYBOX_FILTERS}"
+            )
+        if self.sky_sampler not in self.VALID_SKY_SAMPLERS:
+            raise ValueError(
+                f"unknown sky_sampler {self.sky_sampler!r}; "
+                f"use one of {self.VALID_SKY_SAMPLERS}"
             )
 
     @classmethod
@@ -91,6 +110,7 @@ class RenderStatic:
             max_bounce_count=config.max_bounce_count,
             ray_chunk=config.ray_chunk,
             skybox_filter=config.skybox_filter,
+            sky_sampler=config.sky_sampler,
         )
 
 
@@ -280,7 +300,13 @@ def _trace_sample(
     mdx = jnp.where(miss_rec, miss_dir[0], 0.0)
     mdy = jnp.where(miss_rec, miss_dir[1], 0.0)
     mdz = jnp.where(miss_rec, -miss_dir[2], 1.0)
-    if rs.skybox_filter == "bilinear":
+    if rs.skybox_filter == "bilinear" and _use_mxu_sky(rs, k, sky_h, sky_w):
+        # MXU texture unit (ops/sky_mxu.py): true bilinear via tent-weight
+        # matmuls at single-tap cost
+        sky = sky_mxu.sample_cubemap_u32_mxu(
+            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz), miss_rec
+        )
+    elif rs.skybox_filter == "bilinear":
         sky = sample_cubemap_u32(
             scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz)
         )

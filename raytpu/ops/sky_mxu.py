@@ -1,0 +1,318 @@
+"""MXU "texture unit": cube-map sampling via windowed matmul selection.
+
+The reference samples its skybox through dedicated texture hardware
+(``texture(samplerCube, dir)`` with a LINEAR sampler, ``src/shader.rgen:92``
++ ``src/main.cpp:2393-2406``). The TPU has no texture unit and no fast
+vector gather — XLA per-lane gathers cost ~7ns/lane (measured; see
+``docs/architecture.md`` §7), which made the deferred skybox fetch a
+double-digit share of a 1080p frame. This module builds the TPU-native
+equivalent out of the two things the chip *is* good at: **async DMA** and
+the **MXU**.
+
+Design (per 1024-ray packet = one (8,128) vector register per component):
+
+1. **Consensus window analysis** (XLA, vector ops): miss lanes of a packet
+   are angularly coherent (same pixel tile), so their texels cluster. Per
+   packet, find the ≤3 cube faces its miss lanes touch (a 32×32-pixel tile
+   can straddle at most 3 faces — a cube corner), and a 128×256-texel
+   window per face. Window origins are tile-aligned (y0 % 8 == 0,
+   x0 % 128 == 0) so Mosaic can prove DMA legality; the 256-wide window
+   guarantees any ≤128-texel x-span fits after alignment.
+2. **Pallas kernel**: DMA each window from the packed-u32 cube map in HBM
+   into VMEM, then evaluate each lane's filter with two matmul-shaped
+   contractions instead of gathers. With row weights ``A[r,l]`` the MXU
+   product ``M = Tᵀ·A`` combines texel *rows* per lane; column weights
+   ``B[c,l]`` reduce ``M⊙B`` to the filtered texel. One-hot weights give
+   a bit-exact nearest tap; **tent weights give true separable bilinear**
+   in the same matmuls — filtering that costs 4 gathers/lane on the VPU
+   is free on the MXU. Channel values (≤255) and one-hot weights are
+   exact in bf16 (the MXU rounds f32 operands to bf16 — a single f32
+   matmul on the packed word is NOT exact; measured on v5e).
+3. **Fallbacks**: divergent packets (secondary-bounce misses) are
+   compacted by whole packets — contiguous 4KB-row gathers, not per-lane —
+   into a fixed-size buffer and sampled with the per-lane gather path; if
+   even that budget overflows, a nested ``lax.cond`` falls back to the
+   full gather sweep. Nearest mode is bit-identical to
+   :func:`raytpu.ops.sky.sample_cubemap_u32_nearest` in every tier;
+   bilinear mode matches :func:`raytpu.ops.sky.sample_cubemap_u32` to
+   within bf16 weight quantization (≤1 u8 LSB) on MXU packets and to
+   f32-ulp level on fallback packets.
+
+Cost model (TPU v5e, measured): ~1.9µs marginal per packet (64KB DMA +
+24 small bf16 matmuls) vs ~7ns × 1024 lanes ≈ 7µs+ for the gather path —
+and packets with no miss lanes are skipped entirely via an SMEM flag.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.ops.sky import (
+    face_st,
+    sample_cubemap_u32,
+    sample_cubemap_u32_nearest,
+)
+
+K_SUB = 8
+K_LANE = 128
+PACKET_K = K_SUB * K_LANE
+
+WIN_H = 128   # window rows; y0 aligned to 8 (sublane tile)
+WIN_W = 256   # window cols; x0 aligned to 128 (lane tile) — any 128-span fits
+MAX_FACES = 3  # a convex pixel-tile frustum touches ≤3 cube faces (a corner)
+
+_INV255 = 1.0 / 255.0
+
+
+def mxu_supported(h: int, w: int, k: int) -> bool:
+    """Static eligibility: packet width and map dims fit the window scheme."""
+    return (
+        k == PACKET_K
+        and h >= WIN_H
+        and h % K_SUB == 0
+        and w >= WIN_W
+        and w % K_LANE == 0
+    )
+
+
+def _kernel(
+    do_ref,        # (P,) SMEM i32: 1 = packet has misses and fits windows
+    nw_ref,        # (P,) SMEM i32: number of windows (1..3)
+    facew_ref,     # (3P,) SMEM i32: face per (slot, packet), slot-major
+    row0d8_ref,    # (3P,) SMEM i32: global window row / 8
+    x0d128_ref,    # (3P,) SMEM i32: window col / 128
+    y0l_ref,       # (3P,) SMEM i32: face-local window row origin
+    yc_ref,        # (1, 8, 128) VMEM: texel row per lane (i32 / f32 position)
+    xc_ref,        # (1, 8, 128) VMEM: texel col per lane
+    facel_ref,     # (1, 8, 128) VMEM i32: face per lane
+    sky_ref,       # (6h, w) HBM u32: packed RGB8 cube map
+    out_ref,       # (3, 1, 8, 128) VMEM f32: RGB out
+    win_ref,       # (WIN_H, WIN_W) VMEM u32 scratch
+    sem,           # DMA semaphore
+    *,
+    num_packets: int,
+    bilinear: bool,
+):
+    pid = pl.program_id(0)
+    out_ref[...] = jnp.zeros((3, 1, K_SUB, K_LANE), jnp.float32)
+
+    @pl.when(do_ref[pid] != 0)
+    def _():
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, 1), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, 1), 0)
+        for wslot in range(MAX_FACES):
+            @pl.when(wslot < nw_ref[pid])
+            def _():
+                si = wslot * num_packets + pid
+                fw = facew_ref[si]
+                y0 = y0l_ref[si]
+                x0 = x0d128_ref[si] * K_LANE  # ×128 proves lane-tile alignment
+                cp = pltpu.make_async_copy(
+                    # ×8 proves sublane-tile alignment to Mosaic
+                    sky_ref.at[pl.ds(row0d8_ref[si] * 8, WIN_H),
+                               pl.ds(x0, WIN_W)],
+                    win_ref,
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+                w32 = win_ref[...]
+                chans = [
+                    ((w32 >> sh) & 0xFF)
+                    .astype(jnp.int32)  # no direct u32→bf16 lowering
+                    .astype(jnp.float32)
+                    .astype(jnp.bfloat16)
+                    for sh in (0, 8, 16)
+                ]
+                for i in range(K_SUB):
+                    if bilinear:
+                        # tent weights at the (clamped) sample position ARE
+                        # the separable bilinear weights, clamp-to-edge incl.
+                        fy = yc_ref[0, i:i + 1, :] - y0.astype(jnp.float32)
+                        fx = xc_ref[0, i:i + 1, :] - x0.astype(jnp.float32)
+                        a = jnp.maximum(
+                            1.0 - jnp.abs(fy - iota_r.astype(jnp.float32)),
+                            0.0,
+                        ).astype(jnp.bfloat16)                   # (H, 128)
+                        b = jnp.maximum(
+                            1.0 - jnp.abs(fx - iota_c.astype(jnp.float32)),
+                            0.0,
+                        )                                        # (W, 128)
+                    else:
+                        yl = yc_ref[0, i:i + 1, :] - y0          # (1, 128)
+                        xl = xc_ref[0, i:i + 1, :] - x0
+                        a = (iota_r == yl).astype(jnp.bfloat16)  # (H, 128)
+                        b = (iota_c == xl).astype(jnp.float32)   # (W, 128)
+                    sel = facel_ref[0, i:i + 1, :] == fw
+                    inv = jnp.float32(_INV255)
+                    for c, t in enumerate(chans):
+                        # M[c,l] = Σ_r T[r,c]·A[r,l]   (weighted row combine)
+                        m = jax.lax.dot_general(
+                            t, a, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )                                        # (W, 128)
+                        val = jnp.sum(m * b, axis=0, keepdims=True)
+                        cur = out_ref[c, 0, i:i + 1, :]
+                        out_ref[c, 0, i:i + 1, :] = jnp.where(
+                            sel, val * inv, cur
+                        )
+
+
+def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
+    """Per-packet consensus windows over lane tap ranges [lo, hi]."""
+    p = face.shape[0]
+    cnt = jnp.zeros((p,), jnp.int32)
+    slot_face = [jnp.full((p,), -1, jnp.int32) for _ in range(MAX_FACES)]
+    for f in range(6):
+        pres = (miss & (face == f)).any(axis=1)
+        for s in range(MAX_FACES):
+            slot_face[s] = jnp.where(pres & (cnt == s), f, slot_face[s])
+        cnt = cnt + pres.astype(jnp.int32)
+    ok = cnt <= MAX_FACES
+
+    big = jnp.int32(1 << 30)
+    facew, row0d8, x0d128, y0l = [], [], [], []
+    for s in range(MAX_FACES):
+        m = miss & (face == slot_face[s][:, None])
+        ymin = jnp.min(jnp.where(m, ylo, big), axis=1)
+        ymax = jnp.max(jnp.where(m, yhi, -1), axis=1)
+        xmin = jnp.min(jnp.where(m, xlo, big), axis=1)
+        xmax = jnp.max(jnp.where(m, xhi, -1), axis=1)
+        y0 = jnp.clip((ymin // K_SUB) * K_SUB, 0, h - WIN_H)
+        x0 = jnp.clip((xmin // K_LANE) * K_LANE, 0, w - WIN_W)
+        # empty slots have ymax = -1 < y0 + WIN_H, so they pass trivially
+        ok = ok & (ymax - y0 < WIN_H) & (xmax - x0 < WIN_W)
+        f_safe = jnp.maximum(slot_face[s], 0)
+        facew.append(slot_face[s])
+        row0d8.append((f_safe * h + y0) // K_SUB)
+        x0d128.append(x0 // K_LANE)
+        y0l.append(y0)
+    return (
+        ok,
+        jnp.minimum(cnt, MAX_FACES),
+        jnp.concatenate(facew),
+        jnp.concatenate(row0d8),
+        jnp.concatenate(x0d128),
+        jnp.concatenate(y0l),
+        slot_face[0],
+        y0l[0],
+        x0d128[0] * K_LANE,
+    )
+
+
+def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
+    x, y, z = dirs
+    p, k = x.shape
+    assert mxu_supported(h, w, k), "caller must gate on mxu_supported()"
+
+    face, s, t = face_st(x, y, z)
+    if bilinear:
+        # clamped half-texel sample positions; taps floor(f) and floor(f)+1
+        fx = jnp.clip(s * w - 0.5, 0.0, w - 1.0)
+        fy = jnp.clip(t * h - 0.5, 0.0, h - 1.0)
+        xlo = jnp.floor(fx).astype(jnp.int32)
+        ylo = jnp.floor(fy).astype(jnp.int32)
+        xhi = jnp.minimum(xlo + 1, w - 1)
+        yhi = jnp.minimum(ylo + 1, h - 1)
+        lane_y, lane_x = fy, fx
+        gather_fn = sample_cubemap_u32
+    else:
+        xc = jnp.clip(jnp.floor(s * w).astype(jnp.int32), 0, w - 1)
+        yc = jnp.clip(jnp.floor(t * h).astype(jnp.int32), 0, h - 1)
+        xlo = xhi = xc
+        ylo = yhi = yc
+        lane_y, lane_x = yc, xc
+        gather_fn = sample_cubemap_u32_nearest
+
+    anym = miss.any(axis=1)
+    (ok, nw, facew, row0d8, x0d128, y0l, f0, y00, x00) = _analyze(
+        face, ylo, yhi, xlo, xhi, miss, h, w
+    )
+    do = (anym & ok).astype(jnp.int32)
+
+    # non-miss lanes get slot-0 window coords: in-bounds, discarded later
+    f0c = jnp.maximum(f0, 0)[:, None]
+    face_k = jnp.where(miss, face, f0c)
+    y_k = jnp.where(miss, lane_y, y00[:, None].astype(lane_y.dtype))
+    x_k = jnp.where(miss, lane_x, x00[:, None].astype(lane_x.dtype))
+
+    def pk(a):
+        return a.reshape(p, K_SUB, K_LANE)
+
+    lane_spec = pl.BlockSpec(
+        (1, K_SUB, K_LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    mxu = pl.pallas_call(
+        functools.partial(_kernel, num_packets=p, bilinear=bilinear),
+        grid=(p,),
+        in_specs=[smem] * 6 + [lane_spec] * 3
+        + [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (3, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, p, K_SUB, K_LANE), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WIN_H, WIN_W), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=jax.default_backend() != "tpu",
+    )(
+        do, nw, facew, row0d8, x0d128, y0l,
+        pk(y_k), pk(x_k), pk(face_k),
+        skybox_u32.reshape(6 * h, w),
+    )
+    mxu_rgb = tuple(mxu[c].reshape(p, k) for c in range(3))
+
+    # --- packet-compacted gather fallback for divergent packets ---
+    bad = anym & ~ok
+    nbad = bad.sum()
+    budget = min(p, max(32, p // 8))
+
+    def compacted():
+        idx = jnp.nonzero(bad, size=budget, fill_value=0)[0]
+        # fill rows duplicate packet 0: they recompute packet 0's true sky,
+        # so duplicate scatters all write the same (correct) value
+        sub = tuple(jnp.take(c, idx, axis=0) for c in dirs)
+        sub_sky = gather_fn(skybox_u32, h, w, sub)
+        scat = tuple(
+            jnp.zeros((p, k), jnp.float32).at[idx].set(sc) for sc in sub_sky
+        )
+        use_mxu = (ok | ~anym)[:, None]
+        return tuple(
+            jnp.where(use_mxu, mc, sc) for mc, sc in zip(mxu_rgb, scat)
+        )
+
+    # nested conds: the common all-coherent wave pays neither gather
+    return jax.lax.cond(
+        nbad == 0,
+        lambda: mxu_rgb,
+        lambda: jax.lax.cond(
+            nbad <= budget,
+            compacted,
+            lambda: gather_fn(skybox_u32, h, w, dirs),
+        ),
+    )
+
+
+def sample_cubemap_u32_nearest_mxu(skybox_u32, h: int, w: int, dirs, miss):
+    """Single-tap lookup, bit-identical to ``sample_cubemap_u32_nearest``.
+
+    ``skybox_u32``: (6·h·w,) packed RGB8; ``dirs``: Vec3 of (P, 1024);
+    ``miss``: (P, 1024) bool — only miss lanes' values are meaningful.
+    """
+    return _sample_mxu(skybox_u32, h, w, dirs, miss, bilinear=False)
+
+
+def sample_cubemap_u32_mxu(skybox_u32, h: int, w: int, dirs, miss):
+    """True bilinear via tent-weight matmuls — the reference's LINEAR
+    sampler semantics (``src/main.cpp:2393-2406``), matching
+    ``sample_cubemap_u32`` to within bf16 weight quantization (≤1 u8 LSB)
+    on MXU packets and exactly on fallback packets."""
+    return _sample_mxu(skybox_u32, h, w, dirs, miss, bilinear=True)
