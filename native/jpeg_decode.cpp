@@ -104,7 +104,9 @@ struct Decoder {
       if (b < 0) return -1;
       code = (code << 1) | b;
       if (code <= h.maxcode[l]) {
-        return h.symbols[h.valptr[l] + code - h.mincode[l]];
+        int idx = h.valptr[l] + code - h.mincode[l];
+        if (idx < 0 || idx > 255) return -1;  // corrupt table/stream
+        return h.symbols[idx];
       }
     }
     return -1;
@@ -172,6 +174,8 @@ bool decode(Decoder& d, Image& out) {
     if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;  // standalone
     int len = (d.data[d.pos] << 8) | d.data[d.pos + 1];
     size_t seg_end = d.pos + len;
+    if (len < 2 || seg_end > d.size)
+      return d.fail("truncated segment");
     d.pos += 2;
     switch (m) {
       case 0xC0:  // SOF0 baseline
@@ -183,12 +187,18 @@ bool decode(Decoder& d, Image& out) {
         d.ncomp = d.data[d.pos + 5];
         if (d.ncomp != 1 && d.ncomp != 3)
           return d.fail("only 1 or 3 components");
+        if (d.pos + 6 + 3 * static_cast<size_t>(d.ncomp) > seg_end)
+          return d.fail("truncated SOF");
         for (int i = 0; i < d.ncomp; ++i) {
           const uint8_t* p = d.data + d.pos + 6 + 3 * i;
           d.comp[i].id = p[0];
           d.comp[i].h = p[1] >> 4;
           d.comp[i].v = p[1] & 15;
           d.comp[i].tq = p[2];
+          if (d.comp[i].tq > 3) return d.fail("bad SOF quant table id");
+          if (d.comp[i].h < 1 || d.comp[i].h > 4 || d.comp[i].v < 1 ||
+              d.comp[i].v > 4)
+            return d.fail("bad sampling factors");
           if (d.comp[i].h > d.hmax) d.hmax = d.comp[i].h;
           if (d.comp[i].v > d.vmax) d.vmax = d.comp[i].v;
         }
@@ -200,6 +210,7 @@ bool decode(Decoder& d, Image& out) {
       case 0xC4: {  // DHT
         size_t p = d.pos;
         while (p < seg_end) {
+          if (p + 17 > seg_end) return d.fail("truncated huffman table");
           int tc = d.data[p] >> 4, th = d.data[p] & 15;
           if (th > 3) return d.fail("bad huffman table id");
           Huff& h = tc ? d.hac[th] : d.hdc[th];
@@ -208,7 +219,8 @@ bool decode(Decoder& d, Image& out) {
             h.counts[l] = d.data[p + l];
             total += h.counts[l];
           }
-          if (total > 256) return d.fail("bad huffman table");
+          if (total > 256 || p + 17 + total > seg_end)
+            return d.fail("bad huffman table");
           memcpy(h.symbols, d.data + p + 17, total);
           h.build();
           p += 17 + total;
@@ -220,6 +232,8 @@ bool decode(Decoder& d, Image& out) {
         while (p < seg_end) {
           int pq = d.data[p] >> 4, tq = d.data[p] & 15;
           if (tq > 3) return d.fail("bad quant table id");
+          if (p + 1 + (pq ? 128 : 64) > seg_end)
+            return d.fail("truncated quant table");
           p += 1;
           for (int i = 0; i < 64; ++i) {
             d.qt[tq][i] =
@@ -234,9 +248,13 @@ bool decode(Decoder& d, Image& out) {
         break;
       case 0xDA: {  // SOS
         int ns = d.data[d.pos];
+        if (d.pos + 1 + 2 * static_cast<size_t>(ns) > seg_end)
+          return d.fail("truncated SOS");
         for (int i = 0; i < ns; ++i) {
           int cid = d.data[d.pos + 1 + 2 * i];
           int tt = d.data[d.pos + 2 + 2 * i];
+          if ((tt >> 4) > 3 || (tt & 15) > 3)
+            return d.fail("bad SOS huffman table id");
           for (int c = 0; c < d.ncomp; ++c) {
             if (d.comp[c].id == cid) {
               d.comp[c].td = tt >> 4;

@@ -81,7 +81,9 @@ def attach_bvh(
     node_ranges, tri_ranges = [], []
     # logical mesh → list of traversal-mesh ids (chunks)
     mesh_chunks = []
+    mega_chunks = []  # per-chunk table dicts for the megakernel packing
     node_acc = tri_acc = 0
+    n_soa_global = np.asarray(dev.tri_n_soa)  # (9, T_global), prim-ordered
 
     for mesh_id, (start, count) in enumerate(static.mesh_prim_ranges):
         v0 = v0_all[start : start + count]
@@ -118,11 +120,17 @@ def attach_bvh(
             bvh_e2.append(ce2[order])
             # → global prim id through the chunk's Morton selection
             bvh_prim.append((sel[order] + start).astype(np.int32))
+            mega_chunks.append({
+                "aabb_min": bvh.aabb_min, "aabb_max": bvh.aabb_max,
+                "first": bvh.tri_first, "count": bvh.tri_count,
+                "miss": bvh.miss,
+                "v0": cv0[order], "e1": ce1[order], "e2": ce2[order],
+                "n_soa": n_soa_global[:, sel[order] + start],
+            })
         mesh_chunks.append(tuple(chunk_ids))
 
-    n_soa = np.asarray(dev.tri_n_soa)  # (9, T_global), prim-ordered
     prim_all = np.concatenate(bvh_prim).astype(np.int64)
-    bvh_n_soa = np.ascontiguousarray(n_soa[:, prim_all])  # (9, T_bvh)
+    bvh_n_soa = np.ascontiguousarray(n_soa_global[:, prim_all])  # (9, T_bvh)
 
     dev = dev._replace(
         bvh_tri_n_soa=jnp.asarray(bvh_n_soa),
@@ -153,6 +161,23 @@ def attach_bvh(
     max_tris = max((t for _, t in tri_ranges), default=0)
     padded_fit = fits_smem(max_nodes, max_tris)
 
+    # megakernel tables (ops/mega.py): packed whenever the padded chunk
+    # tables fit the kernel's SMEM scratch budget
+    mega_layout = None
+    if padded_fit and mega_chunks:
+        from raytpu.ops.mega import pack_mega_tables
+
+        mf32, mi32, mroot, (pad_n, pad_t) = pack_mega_tables(mega_chunks)
+        f32_len = mf32.size // len(mega_chunks)
+        i32_len = mi32.size // len(mega_chunks)
+        if (f32_len + i32_len) * 4 <= 960 * 1024:
+            dev = dev._replace(
+                mega_f32=jnp.asarray(mf32),
+                mega_i32=jnp.asarray(mi32),
+                mega_root=jnp.asarray(mroot),
+            )
+            mega_layout = (pad_n, pad_t, f32_len, i32_len)
+
     # replace() keeps every field not owned by the BVH stage (e.g. sky_hw)
     static_out = dataclasses.replace(
         static,
@@ -161,5 +186,6 @@ def attach_bvh(
         traversal=cfg.traversal,
         mesh_pallas_ok=tuple(padded_fit for _ in node_ranges),
         trav_instances=trav_instances,
+        mega_layout=mega_layout,
     )
     return dev, static_out

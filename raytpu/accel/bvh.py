@@ -215,9 +215,8 @@ def _sah_split(
             best = bins <= b
 
     if best is None or best_cost >= leaf_cost:
-        # still split if the leaf would be huge (bound leaf sizes)
-        if count > 4 * max(1, SAH_BINS):
-            return None  # caller falls back to median
+        # cost termination: the caller enforces the leaf-size bound by
+        # falling back to a median split for oversized ranges
         return None
     return best
 

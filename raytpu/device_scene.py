@@ -82,6 +82,14 @@ class DeviceScene(NamedTuple):
     # per-lane gathers
     bvh_tri_n_soa: Optional[jnp.ndarray] = None
 
+    # megakernel chunk tables (ops/mega.py): per-chunk BVH node/tri/normal
+    # data packed into flat DMA-able arrays (uniform per-chunk stride,
+    # 1024-aligned), plus per-chunk object-space root AABBs for the XLA
+    # culling prepass
+    mega_f32: Optional[jnp.ndarray] = None   # (Cmesh * F,) float32
+    mega_i32: Optional[jnp.ndarray] = None   # (Cmesh * I,) int32
+    mega_root: Optional[jnp.ndarray] = None  # (Cmesh, 6) float32
+
     def with_transforms(
         self, o2w: np.ndarray, w2o: np.ndarray
     ) -> "DeviceScene":
@@ -114,6 +122,9 @@ class SceneStatic:
     trav_instances: Tuple[Tuple[int, int], ...] = ()
     # skybox face dimensions (H, W) — the float cube map itself is host-only
     sky_hw: Tuple[int, int] = (1, 1)
+    # megakernel table layout (pad_nodes, pad_tris_incl_guard, f32_len,
+    # i32_len); None when the mega tables are not attached
+    mega_layout: Optional[Tuple[int, int, int, int]] = None
 
     @property
     def traversal_list(self) -> Tuple[Tuple[int, int], ...]:

@@ -33,6 +33,41 @@ KEY_TO_DIR = {
 }
 
 
+def mouse_look_offsets(dx: float, dy: float, sensitivity: float):
+    """Cursor delta → (xoffset, yoffset) for Camera.process_mouse_movement.
+
+    Matches the reference's convention exactly (``src/main.cpp:2863-2877``):
+    ``mouseDifferenceX/Y = previous - current`` and the camera is fed
+    ``(-mouseDifferenceX, mouseDifferenceY) * sensitivity`` — i.e. dragging
+    right looks right (+dx) and dragging DOWN pitches DOWN (-dy)."""
+    return dx * sensitivity, -dy * sensitivity
+
+
+class HeldKeys:
+    """Best-effort key-state tracking over cv2's one-key-per-frame events.
+
+    The reference keeps a GLFW key-state array so W+D+Q all apply each frame
+    (``src/main.cpp:28,83-93,2804-2827``). cv2.waitKey delivers only one
+    keycode per poll and no key-up events, so true chords are impossible;
+    this emulates "held" state by keeping each seen key active for
+    ``hold_frames`` polls — OS key-repeat alternating between held keys then
+    applies all of them nearly every frame. Scripted flythroughs support
+    exact chords (e.g. ``"wd"``)."""
+
+    def __init__(self, hold_frames: int = 6):
+        self.hold_frames = hold_frames
+        self._until = {}
+        self._frame = 0
+
+    def poll(self, key: int):
+        """Record this frame's key event (-1/255 = none); returns the set
+        of currently-held keycodes."""
+        self._frame += 1
+        if key in KEY_TO_DIR:
+            self._until[key] = self._frame + self.hold_frames
+        return {k for k, f in self._until.items() if f > self._frame}
+
+
 def run_interactive(scene: Scene, window_name: str = "raytpu") -> None:
     try:
         import cv2
@@ -48,6 +83,7 @@ def run_interactive(scene: Scene, window_name: str = "raytpu") -> None:
     fps = FpsCounter(print_fn=log.info)
 
     mouse_state = {"down": False, "last": None}
+    keys = HeldKeys()
 
     def on_mouse(event, x, y, flags, param):
         # RMB-drag look, like mouseButtonCallback (src/main.cpp:95-110)
@@ -60,10 +96,8 @@ def run_interactive(scene: Scene, window_name: str = "raytpu") -> None:
             lx, ly = mouse_state["last"]
             dx, dy = x - lx, y - ly
             mouse_state["last"] = (x, y)
-            # sign convention of src/main.cpp:2866-2871
             cam.process_mouse_movement(
-                dx * cfg.camera_mouse_sensitivity,
-                dy * cfg.camera_mouse_sensitivity,
+                *mouse_look_offsets(dx, dy, cfg.camera_mouse_sensitivity)
             )
 
     try:
@@ -87,8 +121,8 @@ def run_interactive(scene: Scene, window_name: str = "raytpu") -> None:
         key = cv2.waitKey(1) & 0xFF
         if key == 27:  # ESC (src/main.cpp:2828-2830)
             break
-        if key in KEY_TO_DIR:
-            cam.move(KEY_TO_DIR[key], cfg.camera_speed * dtp)
+        for held in keys.poll(key):
+            cam.move(KEY_TO_DIR[held], cfg.camera_speed * dtp)
 
         img = renderer.step(time_param)
         bgr = (np.clip(img, 0, 1)[..., ::-1] * 255).astype(np.uint8)

@@ -86,6 +86,17 @@ class RenderStatic:
     def packet_size(self) -> int:
         return self.tile * self.tile
 
+    @property
+    def sample_group(self) -> int:
+        """Consensus-walk group width for the megakernel: the spp sample
+        packets of one tile are folded ADJACENTLY and walked with one
+        skip-link pointer (they are near-identical rays — grouping costs
+        ~no extra node visits and divides walk count by the group)."""
+        spp = self.samples_per_pixel
+        if self.fold_spp and spp in (1, 2, 4, 8):
+            return spp
+        return 1
+
     VALID_SKYBOX_FILTERS = ("bilinear2x", "bilinear", "nearest")
     VALID_SKY_SAMPLERS = ("auto", "gather", "mxu")
 
@@ -212,6 +223,7 @@ def _trace_sample(
     d,                       # Vec3 of (P, K)
     sample_idx: jnp.ndarray,
     active0: jnp.ndarray,    # (P, K) initial lane mask (padding excluded)
+    group: int = 1,          # consensus group width (interleaved spp fold)
 ):
     """One sample wave through the bounce loop → Vec3 color of (P, K)."""
     p, k = o[0].shape
@@ -235,7 +247,8 @@ def _trace_sample(
     def body(state):
         j, o, d, tmp, active, miss_rec, miss_dir = state
         lane_tmax = jnp.where(active, jnp.float32(RAY_TMAX), 0.0)
-        hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax)
+        hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax,
+                               group=group)
         hit_mask = active & hit.is_hit
         miss_mask = active & ~hit.is_hit
 
@@ -267,6 +280,7 @@ def _trace_sample(
                 l,
                 RAY_TMIN,
                 jnp.where(lit_candidate, light_dist, 0.0),
+                group=group,
             )
 
         occluded = jax.lax.cond(
@@ -342,17 +356,21 @@ def render_packets(
     spp = rs.samples_per_pixel
 
     if rs.fold_spp and spp > 1:
-        pxs = jnp.tile(px, (spp, 1))           # (spp·P, K)
-        pys = jnp.tile(py, (spp, 1))
-        act = jnp.tile(active0, (spp, 1))
-        s_idx = jnp.repeat(
-            jnp.arange(spp, dtype=jnp.float32), p
+        # INTERLEAVED fold: packet t*spp+s = tile t, sample s — the spp
+        # near-identical sample packets sit adjacently so the megakernel
+        # can walk them as ONE consensus group (rs.sample_group)
+        pxs = jnp.repeat(px, spp, axis=0)      # (spp·P, K)
+        pys = jnp.repeat(py, spp, axis=0)
+        act = jnp.repeat(active0, spp, axis=0)
+        s_idx = jnp.tile(
+            jnp.arange(spp, dtype=jnp.float32), (p,)
         )[:, None] * jnp.ones((1, k), jnp.float32)
         o, d = primary_rays_soa((pxs, pys), camera, s_idx, spp,
                                 rs.width, rs.height)
-        colors = _trace_sample(scene, static, rs, o, d, s_idx, act)
+        colors = _trace_sample(scene, static, rs, o, d, s_idx, act,
+                               group=rs.sample_group)
         return tuple(
-            c.reshape(spp, p, k).mean(axis=0) for c in colors
+            c.reshape(p, spp, k).mean(axis=1) for c in colors
         )  # :183
 
     def sample_body(i, accum):
@@ -378,14 +396,14 @@ def render_pixels(
     camera: jnp.ndarray,
     pix: jnp.ndarray,  # (R, 2)
 ) -> jnp.ndarray:
-    from raytpu.ops.traverse_pallas import PACK_N
+    from raytpu.ops.mega import BLOCK_PACKETS
 
     r = pix.shape[0]
     k = min(rs.packet_size, r)
     pad = (-r) % k
     px = jnp.pad(pix[:, 0], (0, pad)).reshape(-1, k)
     py = jnp.pad(pix[:, 1], (0, pad)).reshape(-1, k)
-    ppad = (-px.shape[0]) % PACK_N
+    ppad = (-px.shape[0]) % BLOCK_PACKETS
     if ppad:
         px = jnp.concatenate([px, jnp.zeros((ppad, k), px.dtype)])
         py = jnp.concatenate([py, jnp.zeros((ppad, k), py.dtype)])
@@ -418,12 +436,14 @@ def _tiled_pixels(rs: RenderStatic):
     px = jnp.minimum(xs, rs.width - 1).astype(jnp.float32)
     py = jnp.minimum(ys, rs.height - 1).astype(jnp.float32)
 
-    # pad the packet count to a PACK_N multiple (the Pallas kernels process
-    # PACK_N packets per grid step); padding packets are fully dead
-    from raytpu.ops.traverse_pallas import PACK_N
+    # pad the packet count to a BLOCK_PACKETS multiple (covers both the
+    # chain kernels' PACK_N and the megakernel's DMA block granule, and
+    # keeps any spp-interleaved fold block-aligned); padding packets are
+    # fully dead
+    from raytpu.ops.mega import BLOCK_PACKETS
 
     p = px.shape[0]
-    pad = (-p) % PACK_N
+    pad = (-p) % BLOCK_PACKETS
     if pad:
         px = jnp.concatenate([px, jnp.zeros((pad, px.shape[1]), px.dtype)])
         py = jnp.concatenate([py, jnp.zeros((pad, py.shape[1]), py.dtype)])
@@ -457,11 +477,11 @@ def render_frame(
 
     chunk_packets = 0
     if rs.ray_chunk:
-        from raytpu.ops.traverse_pallas import PACK_N
+        from raytpu.ops.mega import BLOCK_PACKETS
 
         chunk_packets = max(1, rs.ray_chunk // rs.packet_size)
-        # the Pallas chain kernels require PACK_N-multiple packet counts
-        chunk_packets = -(-chunk_packets // PACK_N) * PACK_N
+        # Pallas kernels require block-aligned packet counts
+        chunk_packets = -(-chunk_packets // BLOCK_PACKETS) * BLOCK_PACKETS
     if chunk_packets and chunk_packets < p:
         pad = (-p) % chunk_packets
         pad3 = ((0, pad), (0, 0))

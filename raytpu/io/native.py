@@ -104,6 +104,12 @@ def load_obj(path: str):
     if len(vns) == len(pos):
         normals = vns
     elif len(vns) > 0 and nt and tri_vn.min() >= 0:
+        if tri_vn.max() >= len(vns):
+            raise ValueError(
+                f"{path}: face references normal index "
+                f"{int(tri_vn.max()) + 1} but file declares only "
+                f"{len(vns)} normals"
+            )
         normals = np.zeros_like(pos)
         normals[tris.reshape(-1).astype(np.int64)] = vns[
             tri_vn.reshape(-1).astype(np.int64)

@@ -210,6 +210,12 @@ def load_obj_numpy(path: str) -> Mesh:
         # resolve via explicit vn indices (last write wins per vertex)
         normals = np.zeros_like(pos)
         vn_idx = np.asarray(tri_vn, dtype=np.int64).reshape(-1)
+        if vn_idx.size and vn_idx.max() >= len(vns):
+            raise ValueError(
+                f"{path}: face references normal index "
+                f"{int(vn_idx.max()) + 1} but file declares only "
+                f"{len(vns)} normals"
+            )
         v_idx = tris.reshape(-1).astype(np.int64)
         normals[v_idx] = vns[vn_idx]
     else:

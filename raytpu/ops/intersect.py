@@ -101,9 +101,15 @@ def ray_aabb(
     """
     t0 = (box_min - origin) * inv_dir
     t1 = (box_max - origin) * inv_dir
-    t_near = jnp.max(jnp.maximum(jnp.minimum(t0, t1), tmin[..., None]), axis=-1)
-    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    t_far = jnp.minimum(t_far, tmax)
+    # 0·inf NaNs (origin component exactly on a slab plane with a zero
+    # direction component) must not constrain: the ray lies in the slab,
+    # so that axis contributes (-inf, +inf)
+    lo = jnp.minimum(t0, t1)
+    hi = jnp.maximum(t0, t1)
+    lo = jnp.where(jnp.isnan(lo), -jnp.inf, lo)
+    hi = jnp.where(jnp.isnan(hi), jnp.inf, hi)
+    t_near = jnp.max(jnp.maximum(lo, tmin[..., None]), axis=-1)
+    t_far = jnp.minimum(jnp.min(hi, axis=-1), tmax)
     return t_near <= t_far
 
 

@@ -1,0 +1,825 @@
+"""Persistent chunk-sweep megakernel: ONE pallas_call per trace sweep.
+
+Round-1 profiling showed the per-``pallas_call`` fixed cost (~2.5 ms,
+dominated by delivering ~900 KB of BVH tables into SMEM) times 37 chunks
+times ~10 sweeps WAS the config4 frame time. This module restructures the
+whole (instance x chunk) loop of ``ops/trace.py`` into a single persistent
+kernel per sweep (the TPU analog of one ``vkCmdTraceRaysKHR`` dispatch,
+``src/main.cpp:2620-2624``):
+
+* **grid = (num_entries,)** — one grid step per (instance, chunk) pair;
+  chunk tables are DMA'd HBM->SMEM *once per chunk* (~80 us at the measured
+  ~10 GB/s SMEM fill bandwidth) instead of being re-delivered per call;
+* **an XLA prepass** (`chunk_block_hits`) computes a conservative
+  per-(entry, packet-block) hit bitmask with interval arithmetic
+  (block ray bounds vs chunk world AABB). The kernel scans the bitmask and
+  touches ONLY live blocks: rays and trace state for culled blocks never
+  leave HBM (round 1 re-streamed 24 full-frame planes per chunk — ~29 GB
+  per sweep);
+* **manual DMA** of live ray/state blocks HBM->VMEM->HBM with hazard
+  tracking (state blocks are revisited across entries);
+* **spp-grouped consensus walks**: the integrator folds all spp sample
+  waves of a tile into adjacent packets; the kernel walks a whole group
+  with ONE skip-link pointer, so the 4-spp fold costs ~1x (not 4x) node
+  visits on coherent waves.
+
+Replaces ``traceRayEXT`` scheduling (``src/shader.rgen:84-87,111-112``);
+semantics (and bits) are identical to the chained per-chunk kernels in
+``ops/traverse_pallas.py`` — the chain path remains the CPU/interpret
+reference implementation (the mega path is TPU-only: interpret mode does
+not model aliased block revisits).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.ops.intersect import BIG_T, LEAF_UNROLL
+from raytpu.ops.traverse_pallas import (
+    K_LANE,
+    K_SUB,
+    PACKET_K,
+    ST_INST,
+    ST_MAT,
+    ST_NX,
+    ST_NY,
+    ST_NZ,
+    ST_T,
+    ST_U,
+    ST_V,
+    ST_VALID,
+)
+
+# packets per DMA block (the culling / transfer granule). 8 packets = 8192
+# rays = two 32x32 tiles at 4 spp (one tile per group of 4 sample packets).
+BLOCK_PACKETS = 8
+
+# DMA offsets into 1-D f32/i32 arrays must be 1024-aligned (Mosaic tiles
+# 1-D memrefs at 1024 elements)
+DMA_ALIGN = 1024
+
+
+def _align(n: int) -> int:
+    return -(-n // DMA_ALIGN) * DMA_ALIGN
+
+
+# ---------------------------------------------------------------------------
+# build-time table packing (host, numpy)
+# ---------------------------------------------------------------------------
+
+class MegaLayout:
+    """Static layout constants of the packed per-chunk tables."""
+
+    def __init__(self, pad_nodes: int, pad_tris: int):
+        self.pad_nodes = pad_nodes
+        self.pad_tris = pad_tris + LEAF_UNROLL   # leaf blocks stay in-bounds
+        # f32 table: 6 box planes | 9 tri corner planes | 9 normal planes
+        self.off_box = 0
+        self.off_tri = 6 * self.pad_nodes
+        self.off_nrm = self.off_tri + 9 * self.pad_tris
+        self.f32_len = _align(self.off_nrm + 9 * self.pad_tris)
+        # i32 table: first | count | miss | node-count sentinel (last slot)
+        self.i32_len = _align(3 * self.pad_nodes + 1)
+
+    def key(self) -> Tuple[int, int]:
+        return (self.pad_nodes, self.pad_tris)
+
+
+def pack_mega_tables(chunks) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                      Tuple[int, int]]:
+    """Pack per-chunk BVH tables into flat DMA-able arrays.
+
+    ``chunks``: list of dicts with keys aabb_min/aabb_max (n,3), first,
+    count, miss (n,), v0/e1/e2 (t,3), n_soa (9,t).
+
+    Returns (f32tab (C*F,), i32tab (C*I,), roots (C, 6), (pad_nodes,
+    pad_tris)) where pad_tris INCLUDES the LEAF_UNROLL guard.
+    """
+    pad_nodes = max(c["aabb_min"].shape[0] for c in chunks)
+    pad_tris = max(c["v0"].shape[0] for c in chunks)
+    lay = MegaLayout(pad_nodes, pad_tris)
+    cN = len(chunks)
+    f32 = np.zeros((cN, lay.f32_len), np.float32)
+    i32 = np.zeros((cN, lay.i32_len), np.int32)
+    roots = np.zeros((cN, 6), np.float32)
+    for ci, c in enumerate(chunks):
+        n = c["aabb_min"].shape[0]
+        t = c["v0"].shape[0]
+        for a in range(3):
+            f32[ci, a * lay.pad_nodes : a * lay.pad_nodes + n] = (
+                c["aabb_min"][:, a]
+            )
+            f32[ci, (3 + a) * lay.pad_nodes : (3 + a) * lay.pad_nodes + n] = (
+                c["aabb_max"][:, a]
+            )
+        base = lay.off_tri
+        for p, arr in enumerate((c["v0"], c["e1"], c["e2"])):
+            for a in range(3):
+                o = base + (p * 3 + a) * lay.pad_tris
+                f32[ci, o : o + t] = arr[:, a]
+        base = lay.off_nrm
+        for p in range(9):
+            o = base + p * lay.pad_tris
+            f32[ci, o : o + t] = c["n_soa"][p]
+        i32[ci, :n] = c["first"]
+        i32[ci, lay.pad_nodes : lay.pad_nodes + n] = c["count"]
+        i32[ci, 2 * lay.pad_nodes : 2 * lay.pad_nodes + n] = c["miss"]
+        i32[ci, lay.i32_len - 1] = n   # walk-termination sentinel
+        roots[ci, :3] = c["aabb_min"][0]
+        roots[ci, 3:] = c["aabb_max"][0]
+    return f32.reshape(-1), i32.reshape(-1), roots, lay.key()
+
+
+# ---------------------------------------------------------------------------
+# XLA prepass: conservative per-(entry, block) culling
+# ---------------------------------------------------------------------------
+
+def _world_root_boxes(scene, static):
+    """Per traversal entry: chunk root AABB transformed to world space.
+
+    AABB transform by affine M via the |linear| trick (exact for
+    AABB -> enclosing AABB).
+    Returns (lo, hi): two (E, 3) arrays.
+    """
+    roots = scene.mega_root                    # (Cmesh, 6)
+    entries = static.traversal_list
+    mesh_ids = jnp.asarray([m for _, m in entries], jnp.int32)
+    inst_ids = jnp.asarray([i for i, _ in entries], jnp.int32)
+    r = jnp.take(roots, mesh_ids, axis=0)      # (E, 6)
+    lo, hi = r[:, :3], r[:, 3:]
+    c = (lo + hi) * 0.5
+    h = (hi - lo) * 0.5
+    m = jnp.take(scene.o2w, inst_ids, axis=0)  # (E, 3, 4)
+    lin = m[:, :, :3]
+    tr = m[:, :, 3]
+    cw = jnp.einsum("eij,ej->ei", lin, c) + tr
+    hw = jnp.einsum("eij,ej->ei", jnp.abs(lin), h)
+    return cw - hw, cw + hw
+
+
+def chunk_block_hits(
+    scene,
+    static,
+    rays: jnp.ndarray,        # (6, P, 8, 128) packed world rays
+    window: jnp.ndarray,      # (P, 8, 128) per-lane trace window (<=0 dead)
+    tmin: float,
+) -> jnp.ndarray:
+    """Conservative (entry, packet-block) hit bitmask, (E, ceil(PB/32)) u32.
+
+    Interval-arithmetic slab test of each block's ray bounds against each
+    entry's world root AABB; never false-negative (sign-spanning direction
+    intervals widen to (-inf, inf))."""
+    p = rays.shape[1]
+    pb = p // BLOCK_PACKETS
+    live = window > tmin                               # (P, 8, 128)
+    lv = live.reshape(pb, -1)
+    any_live = jnp.any(lv, axis=1)                     # (PB,)
+    big = jnp.float32(3e38)
+
+    def mins(x, lo_fill):
+        x = jnp.where(live, x, lo_fill)
+        return x.reshape(pb, -1)
+
+    o_lo = jnp.stack([mins(rays[c], big).min(axis=1) for c in range(3)], -1)
+    o_hi = jnp.stack([mins(rays[c], -big).max(axis=1) for c in range(3)], -1)
+    d_lo = jnp.stack(
+        [mins(rays[3 + c], big).min(axis=1) for c in range(3)], -1
+    )
+    d_hi = jnp.stack(
+        [mins(rays[3 + c], -big).max(axis=1) for c in range(3)], -1
+    )
+    w = jnp.where(live, window, 0.0).reshape(pb, -1)
+    t_hi = w.max(axis=1)                               # (PB,)
+
+    box_lo, box_hi = _world_root_boxes(scene, static)  # (E, 3)
+
+    # interval reciprocal of [d_lo, d_hi]: sign-spanning -> (-inf, inf)
+    spans = (d_lo <= 0.0) & (d_hi >= 0.0)              # (PB, 3)
+    inv_a = jnp.where(spans, -big, 1.0 / jnp.where(spans, 1.0, d_lo))
+    inv_b = jnp.where(spans, big, 1.0 / jnp.where(spans, 1.0, d_hi))
+    inv_lo = jnp.minimum(inv_a, inv_b)
+    inv_hi = jnp.maximum(inv_a, inv_b)
+
+    def axis_t(bound, e_axis):                          # (E, PB) intervals
+        # (bound - o) * inv, intervals: products of interval endpoints
+        num_lo = bound[:, None] - o_hi[None, :, e_axis]
+        num_hi = bound[:, None] - o_lo[None, :, e_axis]
+        il = inv_lo[None, :, e_axis]
+        ih = inv_hi[None, :, e_axis]
+        cands = [num_lo * il, num_lo * ih, num_hi * il, num_hi * ih]
+        t_lo = functools.reduce(jnp.minimum, cands)
+        t_hi_ = functools.reduce(jnp.maximum, cands)
+        return t_lo, t_hi_
+
+    enter_lo = jnp.full((len(static.traversal_list), pb), float(tmin))
+    exit_hi = jnp.broadcast_to(t_hi[None, :],
+                               (len(static.traversal_list), pb))
+    for a in range(3):
+        lo_l, lo_h = axis_t(box_lo[:, a], a)
+        hi_l, hi_h = axis_t(box_hi[:, a], a)
+        # slab interval = [min(lo, hi), max(lo, hi)] endpoints, widened
+        s_lo = jnp.minimum(lo_l, hi_l)
+        s_hi = jnp.maximum(lo_h, hi_h)
+        enter_lo = jnp.maximum(enter_lo, s_lo)
+        exit_hi = jnp.minimum(exit_hi, s_hi)
+    hit = (enter_lo <= exit_hi) & any_live[None, :]     # (E, PB)
+
+    pad = (-pb) % 32
+    if pad:
+        hit = jnp.pad(hit, ((0, 0), (0, pad)))
+    h = hit.reshape(hit.shape[0], -1, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(h * weights[None, None, :], axis=2, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# the megakernel
+# ---------------------------------------------------------------------------
+
+def _read_w2o(w2o_ref, e):
+    return [w2o_ref[e, i] for i in range(12)]
+
+
+def _xform_rays(m, ow, dw):
+    o = [
+        m[0] * ow[0] + m[1] * ow[1] + m[2] * ow[2] + m[3],
+        m[4] * ow[0] + m[5] * ow[1] + m[6] * ow[2] + m[7],
+        m[8] * ow[0] + m[9] * ow[1] + m[10] * ow[2] + m[11],
+    ]
+    d = [
+        m[0] * dw[0] + m[1] * dw[1] + m[2] * dw[2],
+        m[4] * dw[0] + m[5] * dw[1] + m[6] * dw[2],
+        m[8] * dw[0] + m[9] * dw[1] + m[10] * dw[2],
+    ]
+    return o, d
+
+
+def _inv(d):
+    return [
+        jnp.where(x != 0.0, 1.0 / x, jnp.where(x >= 0, jnp.inf, -jnp.inf))
+        for x in d
+    ]
+
+
+def _slab_tab(tabf, pn, o, d_inv, n, tmin, tfar):
+    tns, tfs = [], []
+    for a in range(3):
+        lo = (tabf[a * pn + n] - o[a]) * d_inv[a]
+        hi = (tabf[(3 + a) * pn + n] - o[a]) * d_inv[a]
+        tns.append(jnp.minimum(lo, hi))
+        tfs.append(jnp.maximum(lo, hi))
+    t_near = jnp.maximum(jnp.maximum(tns[0], tns[1]),
+                         jnp.maximum(tns[2], tmin))
+    t_far = jnp.minimum(jnp.minimum(tfs[0], tfs[1]),
+                        jnp.minimum(tfs[2], tfar))
+    return t_near <= t_far
+
+
+def _mt_tab(tabf, off_tri, pt, o, d, s, tmin, best_t):
+    v0 = [tabf[off_tri + a * pt + s] for a in range(3)]
+    e1 = [tabf[off_tri + (3 + a) * pt + s] for a in range(3)]
+    e2 = [tabf[off_tri + (6 + a) * pt + s] for a in range(3)]
+    px = d[1] * e2[2] - d[2] * e2[1]
+    py = d[2] * e2[0] - d[0] * e2[2]
+    pz = d[0] * e2[1] - d[1] * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tvx, tvy, tvz = o[0] - v0[0], o[1] - v0[1], o[2] - v0[2]
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1[2] - tvz * e1[1]
+    qy = tvz * e1[0] - tvx * e1[2]
+    qz = tvx * e1[1] - tvy * e1[0]
+    v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-9)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > tmin) & (t < best_t)
+    )
+    return t, u, v, hit
+
+
+def _walk_closest(tabf, tabi, pn, pt, off_tri, off_nrm, end,
+                  o, d, tmin, bt0):
+    """Consensus skip-link walk of one ray GROUP (g, 8, 128) against the
+    SMEM-resident chunk tables. Returns merged best (t, slot, u, v, n)."""
+    d_inv = _inv(d)
+    shape = o[0].shape
+
+    def cond(state):
+        return state[0] != end
+
+    def body(state):
+        node, bt, bs, bu, bv, bn = state
+        first = tabi[node]
+        is_leaf = first >= 0
+        box_hit = _slab_tab(tabf, pn, o, d_inv, node, tmin, bt)
+        any_box = jnp.any(box_hit)
+
+        def leaf_case(carry):
+            bt, bs, bu, bv, bn = carry
+            count = tabi[pn + node]
+            for k in range(LEAF_UNROLL):
+                sidx = first + k
+                t, u, v, hit = _mt_tab(tabf, off_tri, pt, o, d, sidx,
+                                       tmin, bt)
+                hit = hit & (k < count)
+
+                def interp(bn):
+                    w = 1.0 - u - v
+                    return tuple(
+                        jnp.where(
+                            hit,
+                            w * tabf[off_nrm + c * pt + sidx]
+                            + u * tabf[off_nrm + (3 + c) * pt + sidx]
+                            + v * tabf[off_nrm + (6 + c) * pt + sidx],
+                            bn[c],
+                        )
+                        for c in range(3)
+                    )
+
+                bn = jax.lax.cond(jnp.any(hit), interp, lambda b: b, bn)
+                bs = jnp.where(hit, sidx, bs)
+                bu = jnp.where(hit, u, bu)
+                bv = jnp.where(hit, v, bv)
+                bt = jnp.where(hit, t, bt)
+            return bt, bs, bu, bv, bn
+
+        bt, bs, bu, bv, bn = jax.lax.cond(
+            is_leaf & any_box, leaf_case, lambda c: c, (bt, bs, bu, bv, bn)
+        )
+        nxt = jnp.where(is_leaf | ~any_box, tabi[2 * pn + node], node + 1)
+        return nxt, bt, bs, bu, bv, bn
+
+    zeros = jnp.zeros(shape, jnp.float32)
+    init = (
+        jnp.int32(0), bt0,
+        jnp.full(shape, -1, jnp.int32),
+        zeros, zeros, (zeros, zeros, zeros),
+    )
+    _, bt, bs, bu, bv, bn = jax.lax.while_loop(cond, body, init)
+    return bt, bs, bu, bv, bn
+
+
+def _mega_closest_kernel(
+    # scalar-prefetch
+    bits_ref,      # (E, W) uint32 live-block bitmask words
+    # SMEM operands
+    meshof_ref,    # (E,) i32
+    w2o_ref,       # (E, 12) f32
+    matid_ref,     # (E,) i32
+    instid_ref,    # (E,) i32
+    # HBM (ANY) operands
+    tabf_hbm,      # (Cmesh * F,) f32
+    tabi_hbm,      # (Cmesh * I,) i32
+    rays_hbm,      # (6, P, 8, 128) f32
+    st_hbm,        # aliased in (unused; st_out is the same buffer)
+    # output (aliased to st_hbm)
+    st_out,        # (9, P, 8, 128) f32
+    # scratch
+    tabf, tabi,    # SMEM chunk tables
+    cur_mesh,      # SMEM (1,) i32
+    pend_blk,      # SMEM (2,) i32: HBM block of in-flight out-DMA, -1 none
+    ray_buf,       # VMEM (2, 6, BP, 8, 128)
+    st_buf,        # VMEM (2, 9, BP, 8, 128)
+    sem_tab,       # DMA sem (2,)
+    sem_in,        # DMA sem (2, 2)
+    sem_out,       # DMA sem (2,)
+    *,
+    tmin: float,
+    group: int,
+    pn: int,
+    pt: int,
+    f32_len: int,
+    i32_len: int,
+    num_blocks: int,
+):
+    e = pl.program_id(0)
+    num_e = pl.num_programs(0)
+    bp = BLOCK_PACKETS
+    off_tri = 6 * pn
+    off_nrm = off_tri + 9 * pt
+
+    @pl.when(e == 0)
+    def _():
+        cur_mesh[0] = -1
+        pend_blk[0] = -1
+        pend_blk[1] = -1
+
+    mesh = meshof_ref[e]
+    m = _read_w2o(w2o_ref, e)
+    matid = matid_ref[e]
+    instid = instid_ref[e]
+
+    # ---- chunk tables: DMA once per chunk transition ----
+    @pl.when(cur_mesh[0] != mesh)
+    def _():
+        cur_mesh[0] = mesh
+        dma_f = pltpu.make_async_copy(
+            tabf_hbm.at[pl.ds(mesh * f32_len, f32_len)], tabf, sem_tab.at[0]
+        )
+        dma_i = pltpu.make_async_copy(
+            tabi_hbm.at[pl.ds(mesh * i32_len, i32_len)], tabi, sem_tab.at[1]
+        )
+        dma_f.start()
+        dma_i.start()
+        dma_f.wait()
+        dma_i.wait()
+
+    # walk termination = the chunk's real node count (sentinel slot)
+    end = tabi[i32_len - 1]
+
+    def process_block(b, slot):
+        """DMA block b in, walk all groups, DMA state back."""
+        # hazard: an in-flight out-DMA to the SAME HBM block must land
+        # before we re-read it
+        for s in range(2):
+            @pl.when(pend_blk[s] == b)
+            def _():
+                pltpu.make_async_copy(
+                    st_buf.at[s], st_out.at[:, pl.ds(pend_blk[s] * bp, bp)],
+                    sem_out.at[s],
+                ).wait()
+                pend_blk[s] = -1
+
+        # wait any pending out on THIS slot before overwriting its buffer
+        @pl.when(pend_blk[slot] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                st_buf.at[slot],
+                st_out.at[:, pl.ds(pend_blk[slot] * bp, bp)],
+                sem_out.at[slot],
+            ).wait()
+            pend_blk[slot] = -1
+
+        din = pltpu.make_async_copy(
+            rays_hbm.at[:, pl.ds(b * bp, bp)], ray_buf.at[slot],
+            sem_in.at[slot, 0],
+        )
+        dst = pltpu.make_async_copy(
+            st_out.at[:, pl.ds(b * bp, bp)], st_buf.at[slot],
+            sem_in.at[slot, 1],
+        )
+        din.start()
+        dst.start()
+        din.wait()
+        dst.wait()
+
+        for g0 in range(0, bp, group):
+            gs = pl.ds(g0, group)
+            ow = [ray_buf[slot, c, gs] for c in range(3)]
+            dw = [ray_buf[slot, 3 + c, gs] for c in range(3)]
+            o, d = _xform_rays(m, ow, dw)
+            bt0 = st_buf[slot, ST_T, gs]
+            bt, bs, bu, bv, bn = _walk_closest(
+                tabf, tabi, pn, pt, off_tri, off_nrm, end, o, d, tmin, bt0
+            )
+            improved = bs >= 0
+            nwx = m[0] * bn[0] + m[4] * bn[1] + m[8] * bn[2]
+            nwy = m[1] * bn[0] + m[5] * bn[1] + m[9] * bn[2]
+            nwz = m[2] * bn[0] + m[6] * bn[1] + m[10] * bn[2]
+
+            def f32bits(x):
+                return pltpu.bitcast(x, jnp.float32)
+
+            def i32bits(x):
+                return pltpu.bitcast(x, jnp.int32)
+
+            st_buf[slot, ST_T, gs] = bt
+            st_buf[slot, ST_VALID, gs] = f32bits(
+                jnp.where(improved, 1, i32bits(st_buf[slot, ST_VALID, gs]))
+            )
+            st_buf[slot, ST_MAT, gs] = f32bits(
+                jnp.where(improved, matid, i32bits(st_buf[slot, ST_MAT, gs]))
+            )
+            st_buf[slot, ST_INST, gs] = f32bits(
+                jnp.where(improved, instid,
+                          i32bits(st_buf[slot, ST_INST, gs]))
+            )
+            st_buf[slot, ST_NX, gs] = jnp.where(
+                improved, nwx, st_buf[slot, ST_NX, gs])
+            st_buf[slot, ST_NY, gs] = jnp.where(
+                improved, nwy, st_buf[slot, ST_NY, gs])
+            st_buf[slot, ST_NZ, gs] = jnp.where(
+                improved, nwz, st_buf[slot, ST_NZ, gs])
+            st_buf[slot, ST_U, gs] = jnp.where(
+                improved, bu, st_buf[slot, ST_U, gs])
+            st_buf[slot, ST_V, gs] = jnp.where(
+                improved, bv, st_buf[slot, ST_V, gs])
+
+        pltpu.make_async_copy(
+            st_buf.at[slot], st_out.at[:, pl.ds(b * bp, bp)],
+            sem_out.at[slot],
+        ).start()
+        pend_blk[slot] = b
+
+    # ---- scan the bitmask row; process live blocks ----
+    def scan_body(b, slot):
+        word = bits_ref[e, b // 32]
+        bit = (word >> (b % 32)) & jnp.uint32(1)
+
+        def do(slot):
+            process_block(b, slot)
+            return (slot + 1) % 2
+
+        return jax.lax.cond(bit != 0, do, lambda s: s, slot)
+
+    jax.lax.fori_loop(0, num_blocks, scan_body, jnp.int32(0),
+                      unroll=False)
+
+    # ---- final step: flush pending out-DMAs ----
+    @pl.when(e == num_e - 1)
+    def _():
+        for s in range(2):
+            @pl.when(pend_blk[s] >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    st_buf.at[s],
+                    st_out.at[:, pl.ds(pend_blk[s] * bp, bp)],
+                    sem_out.at[s],
+                ).wait()
+                pend_blk[s] = -1
+
+
+def mega_closest_sweep(
+    scene, static,
+    rays: jnp.ndarray,     # (6, P, 8, 128) packed world rays
+    tmin: float,
+    state: jnp.ndarray,    # (9, P, 8, 128) packed trace state
+    group: int,
+) -> jnp.ndarray:
+    """One full closest-hit sweep (every traversal entry) in ONE kernel."""
+    p = rays.shape[1]
+    assert p % BLOCK_PACKETS == 0
+    pn, pt, f32_len, i32_len = static.mega_layout
+    num_blocks = p // BLOCK_PACKETS
+
+    bits = chunk_block_hits(scene, static, rays, state[ST_T], tmin)
+    entries = static.traversal_list
+    e_n = len(entries)
+    meshof = jnp.asarray([m for _, m in entries], jnp.int32)
+    instid = jnp.asarray([i for i, _ in entries], jnp.int32)
+    w2o = scene.w2o[instid].reshape(e_n, 12)
+    matid = scene.materials[instid].astype(jnp.int32)
+
+    kernel = functools.partial(
+        _mega_closest_kernel,
+        tmin=float(tmin), group=group, pn=pn, pt=pt,
+        f32_len=f32_len, i32_len=i32_len, num_blocks=num_blocks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meshof
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # w2o
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # matid
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # instid
+            pl.BlockSpec(memory_space=pl.ANY),       # tabf
+            pl.BlockSpec(memory_space=pl.ANY),       # tabi
+            pl.BlockSpec(memory_space=pl.ANY),       # rays
+            pl.BlockSpec(memory_space=pl.ANY),       # state (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SMEM((f32_len,), jnp.float32),
+            pltpu.SMEM((i32_len,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((2, 9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((9, p, K_SUB, K_LANE), jnp.float32),
+        input_output_aliases={8: 0},   # state (after 1 prefetch + 7 ins)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bits, meshof, w2o, matid, instid,
+      scene.mega_f32, scene.mega_i32, rays, state)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# any-hit (occlusion) megakernel
+# ---------------------------------------------------------------------------
+
+def _walk_anyhit(tabf, tabi, pn, pt, off_tri, end, o, d, tmin, tmax, occ0):
+    d_inv = _inv(d)
+    live0 = tmax > tmin
+
+    def cond(state):
+        return state[0] != end
+
+    def body(state):
+        node, occluded = state
+        first = tabi[node]
+        is_leaf = first >= 0
+        pending_t = jnp.where(live0 & (occluded == 0), tmax, 0.0)
+        box_hit = _slab_tab(tabf, pn, o, d_inv, node, tmin, pending_t)
+        any_box = jnp.any(box_hit)
+
+        def leaf_case(occ):
+            count = tabi[pn + node]
+            for k in range(LEAF_UNROLL):
+                _, _, _, hit = _mt_tab(tabf, off_tri, pt, o, d, first + k,
+                                       tmin, pending_t)
+                occ = occ | (hit & (k < count)).astype(jnp.int32)
+            return occ
+
+        occluded = jax.lax.cond(is_leaf & any_box, leaf_case,
+                                lambda c: c, occluded)
+        done = ~jnp.any(live0 & (occluded == 0))
+        nxt = jnp.where(is_leaf | ~any_box, tabi[2 * pn + node], node + 1)
+        nxt = jnp.where(done, end, nxt)
+        return nxt, occluded
+
+    _, occluded = jax.lax.while_loop(cond, body, (jnp.int32(0), occ0))
+    return occluded
+
+
+def _mega_anyhit_kernel(
+    bits_ref,
+    meshof_ref, w2o_ref,
+    tabf_hbm, tabi_hbm, rays_hbm, tmax_hbm, occ_in_hbm,
+    occ_out,
+    tabf, tabi, cur_mesh, pend_blk, ray_buf, tmax_buf, occ_buf,
+    sem_tab, sem_in, sem_out,
+    *,
+    tmin: float, group: int, pn: int, pt: int,
+    f32_len: int, i32_len: int, num_blocks: int,
+):
+    e = pl.program_id(0)
+    num_e = pl.num_programs(0)
+    bp = BLOCK_PACKETS
+    off_tri = 6 * pn
+
+    @pl.when(e == 0)
+    def _():
+        cur_mesh[0] = -1
+        pend_blk[0] = -1
+        pend_blk[1] = -1
+
+    mesh = meshof_ref[e]
+    m = _read_w2o(w2o_ref, e)
+
+    @pl.when(cur_mesh[0] != mesh)
+    def _():
+        cur_mesh[0] = mesh
+        dma_f = pltpu.make_async_copy(
+            tabf_hbm.at[pl.ds(mesh * f32_len, f32_len)], tabf, sem_tab.at[0]
+        )
+        dma_i = pltpu.make_async_copy(
+            tabi_hbm.at[pl.ds(mesh * i32_len, i32_len)], tabi, sem_tab.at[1]
+        )
+        dma_f.start()
+        dma_i.start()
+        dma_f.wait()
+        dma_i.wait()
+
+    end = tabi[i32_len - 1]
+
+    def process_block(b, slot):
+        for s in range(2):
+            @pl.when(pend_blk[s] == b)
+            def _():
+                pltpu.make_async_copy(
+                    occ_buf.at[s], occ_out.at[pl.ds(pend_blk[s] * bp, bp)],
+                    sem_out.at[s],
+                ).wait()
+                pend_blk[s] = -1
+
+        @pl.when(pend_blk[slot] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                occ_buf.at[slot],
+                occ_out.at[pl.ds(pend_blk[slot] * bp, bp)],
+                sem_out.at[slot],
+            ).wait()
+            pend_blk[slot] = -1
+
+        d0 = pltpu.make_async_copy(
+            rays_hbm.at[:, pl.ds(b * bp, bp)], ray_buf.at[slot],
+            sem_in.at[slot, 0])
+        d1 = pltpu.make_async_copy(
+            tmax_hbm.at[pl.ds(b * bp, bp)], tmax_buf.at[slot],
+            sem_in.at[slot, 1])
+        d2 = pltpu.make_async_copy(
+            occ_out.at[pl.ds(b * bp, bp)], occ_buf.at[slot],
+            sem_in.at[slot, 2])
+        d0.start(); d1.start(); d2.start()
+        d0.wait(); d1.wait(); d2.wait()
+
+        for g0 in range(0, bp, group):
+            gs = pl.ds(g0, group)
+            ow = [ray_buf[slot, c, gs] for c in range(3)]
+            dw = [ray_buf[slot, 3 + c, gs] for c in range(3)]
+            o, d = _xform_rays(m, ow, dw)
+            tmax = tmax_buf[slot, gs]
+            occ0 = occ_buf[slot, gs]
+            occ_buf[slot, gs] = _walk_anyhit(
+                tabf, tabi, pn, pt, off_tri, end, o, d, tmin, tmax, occ0
+            )
+
+        pltpu.make_async_copy(
+            occ_buf.at[slot], occ_out.at[pl.ds(b * bp, bp)],
+            sem_out.at[slot],
+        ).start()
+        pend_blk[slot] = b
+
+    def scan_body(b, slot):
+        word = bits_ref[e, b // 32]
+        bit = (word >> (b % 32)) & jnp.uint32(1)
+
+        def do(slot):
+            process_block(b, slot)
+            return (slot + 1) % 2
+
+        return jax.lax.cond(bit != 0, do, lambda s: s, slot)
+
+    jax.lax.fori_loop(0, num_blocks, scan_body, jnp.int32(0), unroll=False)
+
+    @pl.when(e == num_e - 1)
+    def _():
+        for s in range(2):
+            @pl.when(pend_blk[s] >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    occ_buf.at[s],
+                    occ_out.at[pl.ds(pend_blk[s] * bp, bp)],
+                    sem_out.at[s],
+                ).wait()
+                pend_blk[s] = -1
+
+
+def mega_anyhit_sweep(
+    scene, static,
+    rays: jnp.ndarray,       # (6, P, 8, 128)
+    tmin: float,
+    tmax_reg: jnp.ndarray,   # (P, 8, 128) per-lane shadow window
+    occ: jnp.ndarray,        # (P, 8, 128) int32, consumed (donated)
+    group: int,
+) -> jnp.ndarray:
+    p = rays.shape[1]
+    assert p % BLOCK_PACKETS == 0
+    pn, pt, f32_len, i32_len = static.mega_layout
+    num_blocks = p // BLOCK_PACKETS
+
+    bits = chunk_block_hits(scene, static, rays, tmax_reg, tmin)
+    entries = static.traversal_list
+    e_n = len(entries)
+    meshof = jnp.asarray([m for _, m in entries], jnp.int32)
+    instid = jnp.asarray([i for i, _ in entries], jnp.int32)
+    w2o = scene.w2o[instid].reshape(e_n, 12)
+
+    kernel = functools.partial(
+        _mega_anyhit_kernel,
+        tmin=float(tmin), group=group, pn=pn, pt=pt,
+        f32_len=f32_len, i32_len=i32_len, num_blocks=num_blocks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(e_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SMEM((f32_len,), jnp.float32),
+            pltpu.SMEM((i32_len,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
+        input_output_aliases={7: 0},   # occ (after 1 prefetch + 6 ins)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bits, meshof, w2o,
+      scene.mega_f32, scene.mega_i32, rays, tmax_reg, occ)
+    return out

@@ -126,6 +126,7 @@ def closest_hit_wave(
     d,                  # Vec3 of (P, K)
     tmin: float,
     tmax: jnp.ndarray,  # (P, K) or scalar
+    group: int = 1,     # spp-grouped consensus width (megakernel path)
 ) -> HitWave:
     """Packet-layout closest hit over all instances (the TPU hot path;
     per-packet consensus traversal, see ``ops/packet.py`` /
@@ -136,6 +137,31 @@ def closest_hit_wave(
     from raytpu.ops import vec3 as v3
 
     p, k = o[0].shape
+
+    # fastest path: the whole (instance x chunk) sweep as ONE persistent
+    # megakernel (ops/mega.py) — tables DMA'd per chunk, culled blocks free
+    if _use_mega(static, p, k):
+        from raytpu.ops.mega import mega_closest_sweep
+        from raytpu.ops.traverse_pallas import (
+            make_trace_state,
+            pack_rays,
+            unpack_state,
+        )
+
+        tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+        rays = pack_rays(o, d)
+        state = make_trace_state(tmax_pk)
+        state = mega_closest_sweep(scene, static, rays, tmin, state, group)
+        t, valid, mat, inst, n, u, v = unpack_state(state, p, k)
+        return HitWave(
+            t=jnp.where(valid, t, BIG_T),
+            valid=valid,
+            mat=mat,
+            n=v3.normalize(n),
+            inst=inst,
+            u=u,
+            v=v,
+        )
 
     # fast path: every traversal mesh Pallas-resident → chained kernels with
     # in-kernel transform + in-place merge (zero XLA glue per chunk)
@@ -256,11 +282,24 @@ def any_hit_wave(
     d,                  # Vec3 of (P, K)
     tmin: float,
     tmax: jnp.ndarray,  # (P, K)
+    group: int = 1,
 ) -> jnp.ndarray:
     """Packet-layout occlusion query over all instances (component-SoA)."""
     from raytpu.ops import vec3 as v3
 
     p, k = o[0].shape
+
+    if _use_mega(static, p, k):
+        from raytpu.ops.mega import mega_anyhit_sweep
+        from raytpu.ops.traverse_pallas import pack_rays
+
+        tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+        rays = pack_rays(o, d)
+        tmax_reg = tmax_pk.reshape(p, 8, 128)
+        occ = jnp.zeros((p, 8, 128), jnp.int32)
+        occ = mega_anyhit_sweep(scene, static, rays, tmin, tmax_reg, occ,
+                                group)
+        return occ.reshape(p, k) != 0
 
     if _all_pallas(static, k):
         from raytpu.ops.traverse_pallas import (
@@ -313,6 +352,26 @@ def any_hit_wave(
             ).reshape(p, k)
         occluded = occluded | occ
     return occluded
+
+
+def _use_mega(static: SceneStatic, p: int, k: int) -> bool:
+    """Static dispatch to the persistent chunk-sweep megakernel.
+
+    TPU-only: the mega path needs compiled DMA/alias semantics (interpret
+    mode does not model aliased block revisits); the chained per-chunk path
+    below is the CPU/interpret reference implementation."""
+    from raytpu.ops.mega import BLOCK_PACKETS
+    from raytpu.ops.traverse_pallas import PACKET_K
+
+    if static.traversal not in ("auto", "mega"):
+        return False
+    if static.mega_layout is None or not static.has_bvh:
+        return False
+    if k != PACKET_K or p % BLOCK_PACKETS != 0:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _all_pallas(static: SceneStatic, k: int) -> bool:
