@@ -14,8 +14,9 @@ tree over sorted Morton codes):
 
 Everything through step 4 runs under jit on the device — this is the
 rebuild-capable path (a deforming mesh could re-run it per frame). The final
-threading into the skip-link layout consumed by the traversal kernels is a
-host-side DFS (ordering choice, done once per topology).
+threading into the skip-link layout consumed by the traversal kernels is
+vectorized NumPy (two sorts + a searchsorted over the Karras leaf ranges —
+no per-node Python loop), so rebuild cost stays sort-bound at every size.
 
 Quality note: LBVH trees are faster to build but trace slower than binned
 SAH (``accel/bvh.py`` / ``native/bvh_build.cpp``), which remain the default
@@ -125,7 +126,12 @@ def build_radix_tree(codes_sorted: jnp.ndarray):
     right_is_leaf = jnp.maximum(idx, j) == gamma + 1
     left = jnp.where(left_is_leaf, gamma, gamma + n)
     right = jnp.where(right_is_leaf, gamma + 1, gamma + 1 + n)
-    return left, right
+    # each internal node covers the CONTIGUOUS sorted-leaf range
+    # [min(i,j), max(i,j)] — the property the vectorized threading and
+    # leaf collapsing below build on
+    lo = jnp.minimum(idx, j)
+    hi = jnp.maximum(idx, j)
+    return left, right, lo, hi
 
 
 @jax.jit
@@ -159,15 +165,19 @@ def refit_aabbs(left, right, leaf_min, leaf_max):
 def build_lbvh(
     v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, leaf_size: int = 4
 ) -> Bvh:
-    """Device LBVH build → host-threaded :class:`Bvh` (same layout contract
-    as the SAH builders). ``leaf_size`` is accepted for API parity; LBVH
-    leaves hold exactly 1 triangle."""
-    t = int(v0.shape[0])
-    if t == 0:
-        from raytpu.accel.bvh import build_bvh
+    """Device LBVH build → vectorized-threaded :class:`Bvh` (same layout
+    contract as the SAH builders).
 
-        return build_bvh(v0, e1, e2, leaf_size=leaf_size)
-    if t == 1:
+    Steps 1–4 (codes, sort, radix tree, refit) run jitted on the device;
+    the final threading into the skip-link layout is VECTORIZED NumPy (two
+    sorts + a searchsorted — no Python-level tree walk), exploiting the
+    Karras-range property: every node covers a contiguous sorted-leaf range
+    [lo, hi], so DFS order is lexsort by (lo asc, size desc) and each skip
+    link is the first later node with lo > hi. Subtrees with ≤ ``leaf_size``
+    triangles are collapsed into packed leaves (their slot ranges are
+    contiguous in Morton order by the same property)."""
+    t = int(v0.shape[0])
+    if t <= max(1, leaf_size):
         from raytpu.accel.bvh import build_bvh
 
         return build_bvh(v0, e1, e2, leaf_size=leaf_size)
@@ -185,80 +195,74 @@ def build_lbvh(
     order = jnp.argsort(codes)
     codes_sorted = codes[order]
 
-    left, right = build_radix_tree(codes_sorted)
+    left, right, lo_i, hi_i = build_radix_tree(codes_sorted)
     node_min, node_max = refit_aabbs(left, right, tmin[order], tmax[order])
 
-    # ---- host-side threading into the skip-link layout ----
-    left_np = np.asarray(left)
-    right_np = np.asarray(right)
+    # ---- vectorized threading into the skip-link layout ----
+    n = t
+    left_np = np.asarray(left).astype(np.int64)
+    right_np = np.asarray(right).astype(np.int64)
+    lo_i = np.asarray(lo_i).astype(np.int64)     # (n-1,) internal ranges
+    hi_i = np.asarray(hi_i).astype(np.int64)
     nmin = np.asarray(node_min)
     nmax = np.asarray(node_max)
-    lmin = np.asarray(tmin)[np.asarray(order)]
-    lmax = np.asarray(tmax)[np.asarray(order)]
     order_np = np.asarray(order)
+    lmin = np.asarray(tmin)[order_np]
+    lmax = np.asarray(tmax)[order_np]
 
-    n = t
-    m_total = 2 * n - 1  # internal (n-1) + leaves (n)
-    aabb_min = np.zeros((m_total, 3), np.float32)
-    aabb_max = np.zeros((m_total, 3), np.float32)
-    tri_first = np.full(m_total, -1, np.int32)
-    tri_count = np.zeros(m_total, np.int32)
-    miss = np.zeros(m_total, np.int32)
-    tri_slots = np.zeros(n, np.int32)
+    count_i = hi_i - lo_i + 1                    # (n-1,)
+    # parent's triangle count for every node (encoded: leaf c<n, internal
+    # n+i), via one scatter — the root has no parent (count = n+1 sentinel)
+    pcount = np.full(2 * n - 1, n + 1, np.int64)
+    pcount[left_np] = count_i
+    pcount[right_np] = count_i
 
-    # subtree sizes (leaves=1) via reverse topological order
-    size = np.ones(2 * n - 1, np.int64)  # index: leaf c<n ; internal n+i
-    # internal nodes in an order where children precede parents: compute by
-    # iterative post-order stack
-    post = []
-    stack = [(n + 0, False)]  # root = internal 0 (encoded n+0)
-    while stack:
-        node, processed = stack.pop()
-        if node < n:
-            continue
-        if processed:
-            post.append(node)
-            continue
-        stack.append((node, True))
-        stack.append((int(left_np[node - n]), False))
-        stack.append((int(right_np[node - n]), False))
-    for node in post:
-        i = node - n
-        lc, rc = int(left_np[i]), int(right_np[i])
-        size[node] = 1 + size[lc] + size[rc]
+    # emitted nodes: interior (count > leaf_size), collapsed-leaf internal
+    # nodes (count ≤ leaf_size, topmost: parent count > leaf_size), and
+    # original leaves whose parent was not collapsed
+    int_keep = count_i > leaf_size
+    int_leaf = (~int_keep) & (pcount[n:] > leaf_size)
+    leaf_keep = pcount[:n] > leaf_size
 
-    # DFS emit with skip links
-    pos = 0
-    slot = 0
-    stack = [(n + 0, m_total)]
-    while stack:
-        node, miss_link = stack.pop()
-        i_out = pos
-        pos += 1
-        miss[i_out] = miss_link
-        if node < n:  # leaf
-            aabb_min[i_out] = lmin[node]
-            aabb_max[i_out] = lmax[node]
-            tri_first[i_out] = slot
-            tri_count[i_out] = 1
-            tri_slots[slot] = order_np[node]
-            slot += 1
-        else:
-            i = node - n
-            aabb_min[i_out] = nmin[i]
-            aabb_max[i_out] = nmax[i]
-            lc, rc = int(left_np[i]), int(right_np[i])
-            right_pos = i_out + 1 + int(size[lc])
-            stack.append((rc, miss_link))
-            stack.append((lc, right_pos))
-    assert pos == m_total and slot == n
+    lo_all = np.concatenate([
+        lo_i[int_keep], lo_i[int_leaf], np.arange(n)[leaf_keep]
+    ])
+    hi_all = np.concatenate([
+        hi_i[int_keep], hi_i[int_leaf], np.arange(n)[leaf_keep]
+    ])
+    is_leaf = np.concatenate([
+        np.zeros(int_keep.sum(), bool),
+        np.ones(int_leaf.sum() + leaf_keep.sum(), bool),
+    ])
+    bmin_all = np.concatenate([
+        nmin[int_keep], nmin[int_leaf], lmin[leaf_keep]
+    ])
+    bmax_all = np.concatenate([
+        nmax[int_keep], nmax[int_leaf], lmax[leaf_keep]
+    ])
 
-    eps = 1e-6 * np.maximum(1.0, np.abs(aabb_max - aabb_min))
+    # DFS order: ranges nest, parents share lo with their leftmost
+    # descendant and are strictly larger → (lo asc, size desc)
+    dfs = np.lexsort((-(hi_all - lo_all), lo_all))
+    lo_s = lo_all[dfs]
+    hi_s = hi_all[dfs]
+    m = dfs.size
+    # skip link = first later node outside the subtree: lo is
+    # non-decreasing in DFS order, so it is searchsorted(lo, hi+1)
+    miss = np.searchsorted(lo_s, hi_s + 1, side="left").astype(np.int32)
+
+    leaf_s = is_leaf[dfs]
+    tri_first = np.where(leaf_s, lo_s, -1).astype(np.int32)
+    tri_count = np.where(leaf_s, hi_s - lo_s + 1, 0).astype(np.int32)
+
+    eps = 1e-6 * np.maximum(
+        1.0, np.abs(bmax_all[dfs] - bmin_all[dfs])
+    )
     return Bvh(
-        aabb_min=(aabb_min - eps).astype(np.float32),
-        aabb_max=(aabb_max + eps).astype(np.float32),
+        aabb_min=(bmin_all[dfs] - eps).astype(np.float32),
+        aabb_max=(bmax_all[dfs] + eps).astype(np.float32),
         tri_first=tri_first,
         tri_count=tri_count,
         miss=miss,
-        tri_order=tri_slots,
+        tri_order=order_np.astype(np.int32),
     )

@@ -27,12 +27,24 @@ def test_morton_orders_spatially():
 
 
 @pytest.mark.parametrize("t", [2, 3, 17, 300])
-def test_lbvh_invariants(t):
+@pytest.mark.parametrize("leaf_size", [1, 4])
+def test_lbvh_invariants(t, leaf_size):
     v0, e1, e2 = _soup(7, t)
-    bvh = build_lbvh(v0, e1, e2)
+    bvh = build_lbvh(v0, e1, e2, leaf_size=leaf_size)
     validate_bvh(bvh, v0, e1, e2)
-    assert bvh.num_nodes == 2 * t - 1
-    assert (bvh.tri_count[bvh.tri_first >= 0] == 1).all()
+    leaves = bvh.tri_first >= 0
+    counts = bvh.tri_count[leaves]
+    assert (counts >= 1).all() and (counts <= leaf_size).all()
+    assert counts.sum() == t
+    # collapsing must actually shrink the node count vs 1-tri leaves
+    if leaf_size > 1 and t > leaf_size:
+        assert bvh.num_nodes < 2 * t - 1
+    # packed leaf slot ranges tile [0, t) without overlap
+    slots = np.concatenate([
+        np.arange(f, f + c)
+        for f, c in zip(bvh.tri_first[leaves], counts)
+    ])
+    assert np.array_equal(np.sort(slots), np.arange(t))
 
 
 def test_lbvh_duplicate_centroids():
