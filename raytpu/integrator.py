@@ -500,9 +500,13 @@ def render_frame(
     else:
         colors = render_packets(scene, static, rs, camera, px, py, in_frame)
 
-    # structural detile (pure reshape/transpose — no scatter): packets are
-    # (Ht*Wt) tiles of (tile*tile) pixels in row-major intra-tile order
-    # (PACK_N padding packets are sliced away first)
+    return detile(colors, rs)
+
+
+def detile(colors, rs: RenderStatic) -> jnp.ndarray:
+    """Structural detile (pure reshape/transpose — no scatter): packets are
+    (Ht*Wt) tiles of (tile*tile) pixels in row-major intra-tile order
+    (padding packets are sliced away first)."""
     t = rs.tile
     h_t = -(-rs.height // t)
     w_t = -(-rs.width // t)

@@ -28,7 +28,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from raytpu.device_scene import DeviceScene, SceneStatic
-from raytpu.integrator import RenderStatic, render_pixels
+from raytpu.integrator import RenderStatic
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "tiles") -> Mesh:
@@ -48,36 +48,82 @@ def render_frame_sharded(
     camera: jnp.ndarray,
     mesh: Mesh,
 ) -> jnp.ndarray:
-    """Full-frame render sharded row-wise across ``mesh``.
+    """Full-frame render sharded across ``mesh`` along the PACKET axis.
 
-    Rows are padded to a multiple of the mesh size; each device renders its
-    row slab with the scene replicated — the multi-chip analog of one
-    ``vkCmdTraceRaysKHR`` dispatch (``src/main.cpp:2620-2624``).
+    Shards the same 32×32 tile-major packet stream the single-chip
+    ``render_frame`` traces (``integrator._tiled_pixels``), so every device
+    runs the identical hot path — Pallas/megakernel traversal, spp fold,
+    deferred sky — on its packet slice with the scene replicated; output is
+    bit-identical to the single-device render. The multi-chip analog of one
+    ``vkCmdTraceRaysKHR`` dispatch (``src/main.cpp:2620-2624``); the only
+    cross-chip data movement is the final tile gather XLA emits for the
+    assembled image.
     """
+    from raytpu.integrator import render_packets
+    from raytpu.ops import vec3 as v3
+    from raytpu.ops.mega import BLOCK_PACKETS
+
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
 
-    h, w = rs.height, rs.width
-    pad_rows = (-h) % n_dev
-    h_padded = h + pad_rows
-
-    ys, xs = jnp.mgrid[0:h_padded, 0:w]
-    pix = jnp.stack([xs, ys], axis=-1).astype(jnp.float32)  # (Hp, W, 2)
+    # tile-major pixel packets (same construction as integrator's
+    # _tiled_pixels), kept as a (tile-row, tile-col) grid so whole TILE ROWS
+    # shard: each device's packets form contiguous image row slabs and the
+    # detile stays device-local
+    t = rs.tile
+    k = t * t
+    w_t = -(-rs.width // t)
+    h_t = -(-rs.height // t)
+    h_pad = -(-h_t // n_dev) * n_dev
+    ty, tx = jnp.mgrid[0:h_pad, 0:w_t]
+    iy, ix = jnp.mgrid[0:t, 0:t]
+    xs = (tx.reshape(h_pad, w_t, 1) * t + ix.reshape(1, 1, k)).astype(
+        jnp.int32
+    )
+    ys = (ty.reshape(h_pad, w_t, 1) * t + iy.reshape(1, 1, k)).astype(
+        jnp.int32
+    )
+    in_frame = (xs < rs.width) & (ys < rs.height)
+    px = jnp.minimum(xs, rs.width - 1).astype(jnp.float32)
+    py = jnp.minimum(ys, rs.height - 1).astype(jnp.float32)
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis, None, None)),
+        in_specs=(
+            P(), P(),
+            P(axis, None, None), P(axis, None, None), P(axis, None, None),
+        ),
         out_specs=P(axis, None, None),
         check_vma=False,
     )
-    def shard_render(scene_rep, camera_rep, pix_tile):
-        flat = pix_tile.reshape(-1, 2)
-        colors = render_pixels(scene_rep, static, rs, camera_rep, flat)
-        return colors.reshape(pix_tile.shape[0], w, 3)
+    def shard_render(scene_rep, camera_rep, pxs, pys, act):
+        hl = pxs.shape[0]                      # local tile rows
+        p = hl * w_t
+        pxf = pxs.reshape(p, k)
+        pyf = pys.reshape(p, k)
+        actf = act.reshape(p, k)
+        # pad the local packet count to the kernels' DMA-block granule
+        # (padding packets are fully dead)
+        pad = (-p) % BLOCK_PACKETS
+        if pad:
+            pxf = jnp.concatenate([pxf, jnp.zeros((pad, k), pxf.dtype)])
+            pyf = jnp.concatenate([pyf, jnp.zeros((pad, k), pyf.dtype)])
+            actf = jnp.concatenate([actf, jnp.zeros((pad, k), bool)])
+        colors = render_packets(
+            scene_rep, static, rs, camera_rep, pxf, pyf, actf
+        )
+        # device-local detile of this shard's tile rows → row slab
+        img = (
+            v3.to_array(colors)[:p]
+            .reshape(hl, w_t, t, t, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(hl * t, w_t * t, 3)
+        )
+        return img[:, : rs.width]
 
-    img = shard_render(scene, camera, pix)
-    return img[:h]
+    img = shard_render(scene, camera, px, py, in_frame)
+    return img[: rs.height]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2), static_argnames=("mesh",))

@@ -57,7 +57,33 @@ def test_sharded_matches_single_device(small_scene):
                        r.camera.basis(), mesh)
     )
     assert img_sharded.shape == img_single.shape
-    np.testing.assert_allclose(img_sharded, img_single, atol=1e-6)
+    # the sharded path runs the SAME tile-major packet pipeline per shard,
+    # so the output is bit-identical, not just close
+    np.testing.assert_array_equal(img_sharded, img_single)
+
+
+def test_sharded_hits_pallas_when_forced(small_scene):
+    """Forcing traversal='pallas' (interpret mode off-TPU) must keep the
+    sharded path on the kernel hot path — packets reach the Pallas chain
+    with the kernel's native width, not a fallback."""
+    import dataclasses
+
+    from raytpu.ops.trace import _all_pallas
+    from raytpu.ops.traverse_pallas import PACKET_K
+
+    r = small_scene
+    static_forced = dataclasses.replace(r.static, traversal="pallas")
+    assert _all_pallas(static_forced, PACKET_K)
+    mesh = make_mesh(2)
+    img = np.asarray(
+        render_sharded(r.device_scene, static_forced, r.render_static,
+                       r.camera.basis(), mesh)
+    )
+    img_single = np.asarray(
+        render_frame(r.device_scene, static_forced, r.render_static,
+                     r.camera.basis())
+    )
+    np.testing.assert_array_equal(img, img_single)
 
 
 def test_sharded_nondivisible_rows(small_scene):
