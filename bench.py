@@ -20,11 +20,15 @@ def main() -> int:
     preset = os.environ.get("RAYTPU_BENCH_PRESET", "config4")
     frames = int(os.environ.get("RAYTPU_BENCH_FRAMES", "8"))
     depth = int(os.environ.get("RAYTPU_HIGHPOLY_DEPTH", "7"))
+    matrix = os.environ.get("RAYTPU_BENCH_MATRIX", "1") != "0"
+    budget = float(os.environ.get("RAYTPU_BENCH_BUDGET_S", "600"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from raytpu.bench import run_benchmark
+    from raytpu.bench import run_benchmark, run_matrix
 
-    r = run_benchmark(preset=preset, frames=frames, highpoly_depth=depth)
+    r = run_benchmark(
+        preset=preset, frames=frames, highpoly_depth=depth, stages=True
+    )
     out = {
         "metric": f"traced Mrays/s per chip ({preset}: {r['width']}x{r['height']}, "
                   f"{r['spp']}spp, {r['max_bounces']}-bounce, "
@@ -34,6 +38,24 @@ def main() -> int:
         "unit": "Mrays/s",
         "vs_baseline": round(r["mrays_per_s"] / NORTH_STAR_MRAYS, 4),
     }
+    if "stage_ms" in r:
+        out["stage_ms"] = {k: round(v, 2) for k, v in r["stage_ms"].items()}
+    if matrix:
+        # the full BASELINE matrix (VERDICT round-1 item 4) under a wall
+        # budget; the headline metric above always completes first
+        others = [p for p in
+                  ("config1", "config2", "config3", "config5", "reference")
+                  if p != preset]
+        out["configs"] = run_matrix(
+            presets=others, frames=max(2, frames // 2),
+            highpoly_depth=depth, budget_s=budget,
+        )
+        out["configs"][preset] = {
+            k: (round(v, 2) if isinstance(v, float) else v)
+            for k, v in r.items()
+            if k in ("width", "height", "spp", "max_bounces",
+                     "rays_per_frame", "frame_ms", "fps", "mrays_per_s")
+        }
     print(json.dumps(out))
     return 0
 

@@ -83,11 +83,105 @@ def count_rays_frame(
     return int(count(scene, camera))
 
 
+def profile_stages(
+    renderer: Renderer, rs: RenderStatic, frames: int = 5
+) -> Dict[str, float]:
+    """Per-stage device timings (ms) for one frame's hot pieces, each
+    measured as its own jitted call bracketed by ``block_until_ready``
+    (``utils/timing.py`` brackets; SURVEY.md §5 prescribes per-stage
+    trace/shade/compact timers — under jit the stages fuse, so each is
+    re-run standalone here)."""
+    import functools
+
+    from raytpu.integrator import _tiled_pixels, primary_rays_soa
+    from raytpu.ops.trace import _use_mega
+    from raytpu.ops.traverse_pallas import (
+        PACKET_K,
+        ST_T,
+        make_trace_state,
+        pack_rays,
+    )
+    from raytpu.utils import StageTimes
+
+    scene, static = renderer.device_scene, renderer.static
+    cam = jnp.asarray(renderer.camera.basis())
+    (px, py), _, in_frame = _tiled_pixels(rs)
+    spp = rs.samples_per_pixel
+    p0 = px.shape[0]
+    if rs.fold_spp and spp > 1:
+        px = jnp.repeat(px, spp, axis=0)
+        py = jnp.repeat(py, spp, axis=0)
+        in_frame = jnp.repeat(in_frame, spp, axis=0)
+        s_idx = jnp.tile(jnp.arange(spp, dtype=jnp.float32), (p0,))[
+            :, None
+        ] * jnp.ones((1, PACKET_K), jnp.float32)
+    else:
+        s_idx = jnp.zeros_like(px)
+    o, d = primary_rays_soa((px, py), cam, s_idx, spp, rs.width, rs.height)
+    p = o[0].shape[0]
+    lane_tmax = jnp.where(in_frame, jnp.float32(RAY_TMAX), 0.0)
+
+    st = StageTimes()
+    times: Dict[str, float] = {}
+
+    def timed(name, fn, *args):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        for _ in range(frames):
+            with st.stage(name, block=lambda: jax.block_until_ready(fn(*args))):
+                pass
+        times[name] = st.mean(name) * 1e3
+        return out
+
+    if _use_mega(static, p, PACKET_K):
+        from raytpu.ops.mega import chunk_block_hits, mega_closest_sweep
+
+        rays = pack_rays(o, d)
+        group = rs.sample_group
+        prepass = jax.jit(
+            lambda r, w: chunk_block_hits(scene, static, r, w, RAY_TMIN)
+        )
+        timed("prepass", prepass, rays, lane_tmax.reshape(p, 8, 128))
+        sweep = jax.jit(
+            functools.partial(
+                mega_closest_sweep, scene, static, tmin=RAY_TMIN, group=group
+            )
+        )
+        timed(
+            "closest_sweep",
+            lambda r: sweep(rays=r, state=make_trace_state(lane_tmax)),
+            rays,
+        )
+    # deferred sky fetch at full wave width
+    from raytpu.ops import sky_mxu
+    from raytpu.ops.sky import sample_cubemap_u32
+
+    if static.sky_hw != (0, 0):
+        sky_h, sky_w = static.sky_hw
+        if rs.skybox_filter == "bilinear" and sky_mxu.mxu_supported(
+            sky_h, sky_w, PACKET_K
+        ) and jax.default_backend() == "tpu":
+            sky_fn = jax.jit(
+                lambda dd: sky_mxu.sample_cubemap_u32_mxu(
+                    scene.skybox_u32, sky_h, sky_w, dd, in_frame
+                )
+            )
+        else:
+            sky_fn = jax.jit(
+                lambda dd: sample_cubemap_u32(
+                    scene.skybox_u32, sky_h, sky_w, dd
+                )
+            )
+        timed("sky", sky_fn, (d[0], d[1], jnp.negative(d[2])))
+    return times
+
+
 def run_benchmark(
     preset="config4",
     frames: int = 8,
     highpoly_depth: int = 7,
     spp: Optional[int] = None,
+    stages: bool = False,
 ) -> Dict:
     """Benchmark a preset name or a fully-specified RenderConfig: honest
     steady-state frame time (compile excluded, device-blocked), exact
@@ -113,7 +207,7 @@ def run_benchmark(
     mean_s, times = measure_frame(frame, warmup=1, iters=frames)
 
     mrays = rays / mean_s / 1e6
-    return {
+    out = {
         "preset": preset if isinstance(preset, str) else "custom",
         "backend": backend,
         "width": rs.width,
@@ -127,3 +221,41 @@ def run_benchmark(
         "count_overhead_s": count_s,
         "frame_times_ms": [t * 1e3 for t in times],
     }
+    if stages:
+        try:
+            out["stage_ms"] = profile_stages(renderer, rs)
+        except Exception as e:  # stages are diagnostics, never fail the bench
+            out["stage_error"] = repr(e)
+    return out
+
+
+def run_matrix(
+    presets=("config1", "config2", "config3", "config4", "config5",
+             "reference"),
+    frames: int = 4,
+    highpoly_depth: int = 7,
+    budget_s: float = 600.0,
+) -> Dict[str, Dict]:
+    """Benchmark every BASELINE config (+ the reference 63-bounce default)
+    in one process, bounded by a wall-clock budget so a driver-invoked run
+    cannot blow its timeout. Returns {preset: summary-or-skip-reason}."""
+    t0 = time.perf_counter()
+    out: Dict[str, Dict] = {}
+    for name in presets:
+        elapsed = time.perf_counter() - t0
+        if elapsed > budget_s:
+            out[name] = {"skipped": f"budget exhausted ({elapsed:.0f}s)"}
+            continue
+        try:
+            r = run_benchmark(
+                preset=name, frames=frames, highpoly_depth=highpoly_depth
+            )
+            out[name] = {
+                k: (round(v, 2) if isinstance(v, float) else v)
+                for k, v in r.items()
+                if k in ("width", "height", "spp", "max_bounces",
+                         "rays_per_frame", "frame_ms", "fps", "mrays_per_s")
+            }
+        except Exception as e:
+            out[name] = {"error": repr(e)}
+    return out
