@@ -165,15 +165,19 @@ def attach_bvh(
     # tables fit the kernel's SMEM scratch budget
     mega_layout = None
     if padded_fit and mega_chunks:
-        from raytpu.ops.mega import pack_mega_tables
+        from raytpu.ops.mega import OCTANTS, pack_mega_tables
 
-        mf32, mi32, mroot, (pad_n, pad_t) = pack_mega_tables(mega_chunks)
+        mf32, mi32, moct, mroot, (pad_n, pad_t) = pack_mega_tables(
+            mega_chunks
+        )
         f32_len = mf32.size // len(mega_chunks)
         i32_len = mi32.size // len(mega_chunks)
-        if (f32_len + i32_len) * 4 <= 960 * 1024:
+        oct_len = moct.size // (len(mega_chunks) * OCTANTS)
+        if (f32_len + i32_len + oct_len) * 4 <= 960 * 1024:
             dev = dev._replace(
                 mega_f32=jnp.asarray(mf32),
                 mega_i32=jnp.asarray(mi32),
+                mega_oct=jnp.asarray(moct),
                 mega_root=jnp.asarray(mroot),
             )
             mega_layout = (pad_n, pad_t, f32_len, i32_len)

@@ -88,6 +88,7 @@ class DeviceScene(NamedTuple):
     # culling prepass
     mega_f32: Optional[jnp.ndarray] = None   # (Cmesh * F,) float32
     mega_i32: Optional[jnp.ndarray] = None   # (Cmesh * I,) int32
+    mega_oct: Optional[jnp.ndarray] = None   # (Cmesh * 8 * O,) int32
     mega_root: Optional[jnp.ndarray] = None  # (Cmesh, 6) float32
 
     def with_transforms(

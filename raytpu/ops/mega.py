@@ -87,20 +87,95 @@ class MegaLayout:
         self.f32_len = _align(self.off_nrm + 9 * self.pad_tris)
         # i32 table: first | count | miss | node-count sentinel (last slot)
         self.i32_len = _align(3 * self.pad_nodes + 1)
+        # per-(chunk, octant) ordering table: succ | skip
+        self.oct_len = _align(2 * self.pad_nodes)
 
     def key(self) -> Tuple[int, int]:
         return (self.pad_nodes, self.pad_tris)
 
 
+OCTANTS = 8
+
+
+def octant_links(
+    aabb_min: np.ndarray, aabb_max: np.ndarray,
+    first: np.ndarray, miss: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-octant near-child-first threaded orderings of one flat DFS BVH.
+
+    The skip-link layout walks nodes in build order (hit → ``node+1``), so
+    rays visit children in an arbitrary order and the per-lane ``best_t``
+    window shrinks late. These links rethread the SAME nodes for each of the
+    8 ray-direction sign octants so the walk descends into the NEARER child
+    first (front-to-back) — the stackless analog of ordered BVH traversal —
+    which tightens ``best_t`` early and lets the slab test cull far
+    subtrees. (Replaces the traversal-order heuristics GPU RT hardware
+    applies inside ``traceRayEXT``, ``src/shader.rgen:86``.)
+
+    Returns ``(succ, skip)``: (8, M) int32 — for octant ``o``, a consensus
+    hit on interior ``n`` continues at ``succ[o, n]`` (its near child); a
+    miss (or a finished leaf) continues at ``skip[o, n]``; value M
+    terminates. Node ids (and therefore box/leaf tables) are unchanged.
+    """
+    m = first.shape[0]
+    interior = first < 0
+    octs = np.arange(OCTANTS)
+    if m == 1 or not interior.any():
+        succ = np.tile(miss.astype(np.int64), (OCTANTS, 1))
+        return succ.astype(np.int32), succ.astype(np.int32).copy()
+
+    ids = np.arange(m)
+    left = ids + 1                       # DFS: left child follows parent
+    # right child = left child's skip link (its next sibling)
+    right = np.where(interior, miss[np.clip(left, 0, m - 1)], 0)
+    center = (aabb_min.astype(np.float64) + aabb_max) * 0.5
+    ii = ids[interior]
+    l, r = left[ii], right[ii]
+    delta = center[r] - center[l]                      # (I, 3)
+    axis = np.argmax(np.abs(delta), axis=1)
+    left_lower = (
+        np.take_along_axis(delta, axis[:, None], axis=1)[:, 0] >= 0
+    )
+    # octant bit for the split axis: 1 = ray direction negative along it
+    neg = ((octs[:, None] >> axis[None, :]) & 1).astype(bool)  # (8, I)
+    pick_l = left_lower[None, :] ^ neg
+    near = np.where(pick_l, l[None, :], r[None, :])    # (8, I)
+    far = np.where(pick_l, r[None, :], l[None, :])
+
+    # skip recurrence: skip[near(i)] = far(i); skip[far(i)] = skip[i];
+    # skip[root] = M. far-chains resolved by pointer doubling.
+    skip = np.full((OCTANTS, m), -1, np.int64)
+    skip[:, 0] = m
+    skip[octs[:, None], near] = far
+    rf = np.zeros((OCTANTS, m), np.int64)   # resolve-from (far → parent)
+    pend = np.zeros((OCTANTS, m), bool)
+    rf[octs[:, None], far] = ii[None, :]
+    pend[octs[:, None], far] = True
+    for _ in range(2 * int(np.ceil(np.log2(m))) + 2):
+        if not pend.any():
+            break
+        val = np.take_along_axis(skip, rf, axis=1)
+        src_pend = np.take_along_axis(pend, rf, axis=1)
+        newly = pend & ~src_pend
+        skip = np.where(newly, val, skip)
+        pend = pend & src_pend
+        rf = np.take_along_axis(rf, rf, axis=1)
+    assert not pend.any() and (skip >= 0).all()
+
+    succ = skip.copy()                     # leaves: succ == skip
+    succ[:, ii] = near
+    return succ.astype(np.int32), skip.astype(np.int32)
+
+
 def pack_mega_tables(chunks) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                      Tuple[int, int]]:
+                                      np.ndarray, Tuple[int, int]]:
     """Pack per-chunk BVH tables into flat DMA-able arrays.
 
     ``chunks``: list of dicts with keys aabb_min/aabb_max (n,3), first,
     count, miss (n,), v0/e1/e2 (t,3), n_soa (9,t).
 
-    Returns (f32tab (C*F,), i32tab (C*I,), roots (C, 6), (pad_nodes,
-    pad_tris)) where pad_tris INCLUDES the LEAF_UNROLL guard.
+    Returns (f32tab (C*F,), i32tab (C*I,), octtab (C*8*O,), roots (C, 6),
+    (pad_nodes, pad_tris)) where pad_tris INCLUDES the LEAF_UNROLL guard.
     """
     pad_nodes = max(c["aabb_min"].shape[0] for c in chunks)
     pad_tris = max(c["v0"].shape[0] for c in chunks)
@@ -108,10 +183,16 @@ def pack_mega_tables(chunks) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
     cN = len(chunks)
     f32 = np.zeros((cN, lay.f32_len), np.float32)
     i32 = np.zeros((cN, lay.i32_len), np.int32)
+    oct_t = np.zeros((cN, OCTANTS, lay.oct_len), np.int32)
     roots = np.zeros((cN, 6), np.float32)
     for ci, c in enumerate(chunks):
         n = c["aabb_min"].shape[0]
         t = c["v0"].shape[0]
+        succ, skip = octant_links(
+            c["aabb_min"], c["aabb_max"], c["first"], c["miss"]
+        )
+        oct_t[ci, :, :n] = succ
+        oct_t[ci, :, lay.pad_nodes : lay.pad_nodes + n] = skip
         for a in range(3):
             f32[ci, a * lay.pad_nodes : a * lay.pad_nodes + n] = (
                 c["aabb_min"][:, a]
@@ -134,7 +215,8 @@ def pack_mega_tables(chunks) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
         i32[ci, lay.i32_len - 1] = n   # walk-termination sentinel
         roots[ci, :3] = c["aabb_min"][0]
         roots[ci, 3:] = c["aabb_max"][0]
-    return f32.reshape(-1), i32.reshape(-1), roots, lay.key()
+    return (f32.reshape(-1), i32.reshape(-1), oct_t.reshape(-1), roots,
+            lay.key())
 
 
 # ---------------------------------------------------------------------------
@@ -171,17 +253,42 @@ def chunk_block_hits(
     window: jnp.ndarray,      # (P, 8, 128) per-lane trace window (<=0 dead)
     tmin: float,
 ) -> jnp.ndarray:
-    """Conservative (entry, packet-block) hit bitmask, (E, ceil(PB/32)) u32.
+    """Conservative (entry, block) culling + block octants + entry depths.
 
-    Interval-arithmetic slab test of each block's ray bounds against each
-    entry's world root AABB; never false-negative (sign-spanning direction
-    intervals widen to (-inf, inf))."""
+    Returns ``(bits, octs, depth)``:
+
+    * ``bits`` (E, ceil(PB/32)) uint32 — interval-arithmetic slab test of
+      each block's ray bounds against each entry's world root AABB, never
+      false-negative (sign-spanning direction intervals widen to
+      (-inf, inf));
+    * ``octs`` (PB,) int32 — each block's majority ray-direction sign
+      octant, selecting the near-first ordering table
+      (:func:`octant_links`) the kernel walks that block with;
+    * ``depth`` (E,) float32 — mean conservative entry distance over the
+      entry's live blocks. Sorting the sweep's entry axis by it makes the
+      carried per-lane ``best_t`` tighten before far chunks are visited, so
+      an occluded chunk's walk parks at its root box test (the chunk-level
+      front-to-back analog of ordered traversal)."""
     p = rays.shape[1]
     pb = p // BLOCK_PACKETS
     live = window > tmin                               # (P, 8, 128)
     lv = live.reshape(pb, -1)
     any_live = jnp.any(lv, axis=1)                     # (PB,)
+    n_live = jnp.sum(lv, axis=1, dtype=jnp.int32)
     big = jnp.float32(3e38)
+
+    def neg_majority(c):
+        neg = jnp.where(live, (rays[3 + c] < 0).astype(jnp.int32), 0)
+        return (
+            jnp.sum(neg.reshape(pb, -1), axis=1, dtype=jnp.int32) * 2
+            > n_live
+        ).astype(jnp.int32)
+
+    octs = (
+        neg_majority(0)
+        | (neg_majority(1) << 1)
+        | (neg_majority(2) << 2)
+    )
 
     def mins(x, lo_fill):
         x = jnp.where(live, x, lo_fill)
@@ -231,12 +338,18 @@ def chunk_block_hits(
         exit_hi = jnp.minimum(exit_hi, s_hi)
     hit = (enter_lo <= exit_hi) & any_live[None, :]     # (E, PB)
 
+    n_hit = jnp.sum(hit, axis=1, dtype=jnp.float32)
+    depth = jnp.sum(
+        jnp.where(hit, jnp.maximum(enter_lo, 0.0), 0.0), axis=1
+    ) / jnp.maximum(n_hit, 1.0)
+
     pad = (-pb) % 32
     if pad:
         hit = jnp.pad(hit, ((0, 0), (0, pad)))
     h = hit.reshape(hit.shape[0], -1, 32).astype(jnp.uint32)
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    return jnp.sum(h * weights[None, None, :], axis=2, dtype=jnp.uint32)
+    bits = jnp.sum(h * weights[None, None, :], axis=2, dtype=jnp.uint32)
+    return bits, octs, depth
 
 
 # ---------------------------------------------------------------------------
@@ -306,10 +419,11 @@ def _mt_tab(tabf, off_tri, pt, o, d, s, tmin, best_t):
     return t, u, v, hit
 
 
-def _walk_closest(tabf, tabi, pn, pt, off_tri, off_nrm, end,
+def _walk_closest(tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end,
                   o, d, tmin, bt0):
-    """Consensus skip-link walk of one ray GROUP (g, 8, 128) against the
-    SMEM-resident chunk tables. Returns merged best (t, slot, u, v, n)."""
+    """Consensus linked walk of one ray GROUP (g, 8, 128) against the
+    SMEM-resident chunk tables, in the block's octant's near-first order
+    (``tabo``: succ | skip). Returns merged best (t, slot, u, v, n)."""
     d_inv = _inv(d)
     shape = o[0].shape
 
@@ -355,7 +469,7 @@ def _walk_closest(tabf, tabi, pn, pt, off_tri, off_nrm, end,
         bt, bs, bu, bv, bn = jax.lax.cond(
             is_leaf & any_box, leaf_case, lambda c: c, (bt, bs, bu, bv, bn)
         )
-        nxt = jnp.where(is_leaf | ~any_box, tabi[2 * pn + node], node + 1)
+        nxt = jnp.where(is_leaf | ~any_box, tabo[pn + node], tabo[node])
         return nxt, bt, bs, bu, bv, bn
 
     zeros = jnp.zeros(shape, jnp.float32)
@@ -371,6 +485,7 @@ def _walk_closest(tabf, tabi, pn, pt, off_tri, off_nrm, end,
 def _mega_closest_kernel(
     # scalar-prefetch
     bits_ref,      # (E, W) uint32 live-block bitmask words
+    octs_ref,      # (PB,) i32 per-block traversal octant
     # SMEM operands
     meshof_ref,    # (E,) i32
     w2o_ref,       # (E, 12) f32
@@ -379,17 +494,19 @@ def _mega_closest_kernel(
     # HBM (ANY) operands
     tabf_hbm,      # (Cmesh * F,) f32
     tabi_hbm,      # (Cmesh * I,) i32
+    tabo_hbm,      # (Cmesh * 8 * O,) i32 octant orderings
     rays_hbm,      # (6, P, 8, 128) f32
     st_hbm,        # aliased in (unused; st_out is the same buffer)
     # output (aliased to st_hbm)
     st_out,        # (9, P, 8, 128) f32
     # scratch
     tabf, tabi,    # SMEM chunk tables
-    cur_mesh,      # SMEM (1,) i32
+    tabo,          # SMEM (oct_len,) current (chunk, octant) ordering
+    cur_mesh,      # SMEM (2,) i32: current mesh | current (mesh, oct) key
     pend_blk,      # SMEM (2,) i32: HBM block of in-flight out-DMA, -1 none
     ray_buf,       # VMEM (2, 6, BP, 8, 128)
     st_buf,        # VMEM (2, 9, BP, 8, 128)
-    sem_tab,       # DMA sem (2,)
+    sem_tab,       # DMA sem (3,)
     sem_in,        # DMA sem (2, 2)
     sem_out,       # DMA sem (2,)
     *,
@@ -399,6 +516,7 @@ def _mega_closest_kernel(
     pt: int,
     f32_len: int,
     i32_len: int,
+    oct_len: int,
     num_blocks: int,
 ):
     e = pl.program_id(0)
@@ -410,6 +528,7 @@ def _mega_closest_kernel(
     @pl.when(e == 0)
     def _():
         cur_mesh[0] = -1
+        cur_mesh[1] = -1
         pend_blk[0] = -1
         pend_blk[1] = -1
 
@@ -418,26 +537,42 @@ def _mega_closest_kernel(
     matid = matid_ref[e]
     instid = instid_ref[e]
 
-    # ---- chunk tables: DMA once per chunk transition ----
-    @pl.when(cur_mesh[0] != mesh)
-    def _():
-        cur_mesh[0] = mesh
-        dma_f = pltpu.make_async_copy(
-            tabf_hbm.at[pl.ds(mesh * f32_len, f32_len)], tabf, sem_tab.at[0]
-        )
-        dma_i = pltpu.make_async_copy(
-            tabi_hbm.at[pl.ds(mesh * i32_len, i32_len)], tabi, sem_tab.at[1]
-        )
-        dma_f.start()
-        dma_i.start()
-        dma_f.wait()
-        dma_i.wait()
-
-    # walk termination = the chunk's real node count (sentinel slot)
-    end = tabi[i32_len - 1]
-
     def process_block(b, slot):
         """DMA block b in, walk all groups, DMA state back."""
+        # ---- chunk tables: DMA lazily, once per chunk transition ----
+        # (inside process_block so an entry with NO live blocks never pays
+        # the ~80 us table transfer — later bounce sweeps are mostly dead)
+        @pl.when(cur_mesh[0] != mesh)
+        def _():
+            cur_mesh[0] = mesh
+            dma_f = pltpu.make_async_copy(
+                tabf_hbm.at[pl.ds(mesh * f32_len, f32_len)], tabf,
+                sem_tab.at[0],
+            )
+            dma_i = pltpu.make_async_copy(
+                tabi_hbm.at[pl.ds(mesh * i32_len, i32_len)], tabi,
+                sem_tab.at[1],
+            )
+            dma_f.start()
+            dma_i.start()
+            dma_f.wait()
+            dma_i.wait()
+
+        # ---- octant ordering table: DMA per (chunk, octant) change ----
+        okey = mesh * 8 + octs_ref[b]
+        @pl.when(cur_mesh[1] != okey)
+        def _():
+            cur_mesh[1] = okey
+            dma_o = pltpu.make_async_copy(
+                tabo_hbm.at[pl.ds(okey * oct_len, oct_len)], tabo,
+                sem_tab.at[2],
+            )
+            dma_o.start()
+            dma_o.wait()
+
+        # walk termination = the chunk's real node count (sentinel slot)
+        end = tabi[i32_len - 1]
+
         # hazard: an in-flight out-DMA to the SAME HBM block must land
         # before we re-read it
         for s in range(2):
@@ -479,7 +614,8 @@ def _mega_closest_kernel(
             o, d = _xform_rays(m, ow, dw)
             bt0 = st_buf[slot, ST_T, gs]
             bt, bs, bu, bv, bn = _walk_closest(
-                tabf, tabi, pn, pt, off_tri, off_nrm, end, o, d, tmin, bt0
+                tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end, o, d,
+                tmin, bt0
             )
             improved = bs >= 0
             nwx = m[0] * bn[0] + m[4] * bn[1] + m[8] * bn[2]
@@ -520,19 +656,10 @@ def _mega_closest_kernel(
         ).start()
         pend_blk[slot] = b
 
-    # ---- scan the bitmask row; process live blocks ----
-    def scan_body(b, slot):
-        word = bits_ref[e, b // 32]
-        bit = (word >> (b % 32)) & jnp.uint32(1)
-
-        def do(slot):
-            process_block(b, slot)
-            return (slot + 1) % 2
-
-        return jax.lax.cond(bit != 0, do, lambda s: s, slot)
-
-    jax.lax.fori_loop(0, num_blocks, scan_body, jnp.int32(0),
-                      unroll=False)
+    # ---- scan the bitmask row; process live blocks. The scan skips 32
+    # blocks per all-zero word, so a dead sweep costs ~num_blocks/32 scalar
+    # iterations instead of num_blocks ----
+    _scan_bitmask(bits_ref, e, num_blocks, process_block)
 
     # ---- final step: flush pending out-DMAs ----
     @pl.when(e == num_e - 1)
@@ -548,6 +675,33 @@ def _mega_closest_kernel(
                 pend_blk[s] = -1
 
 
+def _scan_bitmask(bits_ref, e, num_blocks, process_block):
+    """Word-skipping scan of one bitmask row: for each set bit, call
+    ``process_block(block_id, slot)`` with the alternating DMA slot."""
+    num_words = -(-num_blocks // 32)
+
+    def word_body(wi, slot):
+        word = bits_ref[e, wi]
+
+        def scan_word(slot):
+            def bit_body(j, slot):
+                b = wi * 32 + j
+                bit = (word >> j) & jnp.uint32(1)
+
+                def do(s):
+                    process_block(b, s)
+                    return (s + 1) % 2
+
+                return jax.lax.cond(bit != 0, do, lambda s: s, slot)
+
+            return jax.lax.fori_loop(0, 32, bit_body, slot, unroll=False)
+
+        return jax.lax.cond(word != jnp.uint32(0), scan_word,
+                            lambda s: s, slot)
+
+    jax.lax.fori_loop(0, num_words, word_body, jnp.int32(0), unroll=False)
+
+
 def mega_closest_sweep(
     scene, static,
     rays: jnp.ndarray,     # (6, P, 8, 128) packed world rays
@@ -559,23 +713,33 @@ def mega_closest_sweep(
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
     pn, pt, f32_len, i32_len = static.mega_layout
+    oct_len = _align(2 * pn)
     num_blocks = p // BLOCK_PACKETS
 
-    bits = chunk_block_hits(scene, static, rays, state[ST_T], tmin)
+    bits, octs, depth = chunk_block_hits(scene, static, rays, state[ST_T],
+                                         tmin)
     entries = static.traversal_list
     e_n = len(entries)
     meshof = jnp.asarray([m for _, m in entries], jnp.int32)
     instid = jnp.asarray([i for i, _ in entries], jnp.int32)
+    # near-to-far entry order: carried best_t parks far chunks at their
+    # root test (chunk-level front-to-back; costs extra table DMAs when it
+    # splits a mesh's chunk run — net win on overlapping-chunk scenes)
+    perm = jnp.argsort(depth)
+    bits = jnp.take(bits, perm, axis=0)
+    meshof = jnp.take(meshof, perm)
+    instid = jnp.take(instid, perm)
     w2o = scene.w2o[instid].reshape(e_n, 12)
     matid = scene.materials[instid].astype(jnp.int32)
 
     kernel = functools.partial(
         _mega_closest_kernel,
         tmin=float(tmin), group=group, pn=pn, pt=pt,
-        f32_len=f32_len, i32_len=i32_len, num_blocks=num_blocks,
+        f32_len=f32_len, i32_len=i32_len, oct_len=oct_len,
+        num_blocks=num_blocks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(e_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # meshof
@@ -584,6 +748,7 @@ def mega_closest_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # instid
             pl.BlockSpec(memory_space=pl.ANY),       # tabf
             pl.BlockSpec(memory_space=pl.ANY),       # tabi
+            pl.BlockSpec(memory_space=pl.ANY),       # tabo
             pl.BlockSpec(memory_space=pl.ANY),       # rays
             pl.BlockSpec(memory_space=pl.ANY),       # state (aliased)
         ],
@@ -591,11 +756,12 @@ def mega_closest_sweep(
         scratch_shapes=[
             pltpu.SMEM((f32_len,), jnp.float32),
             pltpu.SMEM((i32_len,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((oct_len,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, 9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -604,10 +770,10 @@ def mega_closest_sweep(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((9, p, K_SUB, K_LANE), jnp.float32),
-        input_output_aliases={8: 0},   # state (after 1 prefetch + 7 ins)
+        input_output_aliases={10: 0},  # state (after 2 prefetch + 8 ins)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(bits, meshof, w2o, matid, instid,
-      scene.mega_f32, scene.mega_i32, rays, state)
+    )(bits, octs, meshof, w2o, matid, instid,
+      scene.mega_f32, scene.mega_i32, scene.mega_oct, rays, state)
     return out
 
 
@@ -615,7 +781,8 @@ def mega_closest_sweep(
 # any-hit (occlusion) megakernel
 # ---------------------------------------------------------------------------
 
-def _walk_anyhit(tabf, tabi, pn, pt, off_tri, end, o, d, tmin, tmax, occ0):
+def _walk_anyhit(tabf, tabi, tabo, pn, pt, off_tri, end, o, d, tmin, tmax,
+                 occ0):
     d_inv = _inv(d)
     live0 = tmax > tmin
 
@@ -641,7 +808,7 @@ def _walk_anyhit(tabf, tabi, pn, pt, off_tri, end, o, d, tmin, tmax, occ0):
         occluded = jax.lax.cond(is_leaf & any_box, leaf_case,
                                 lambda c: c, occluded)
         done = ~jnp.any(live0 & (occluded == 0))
-        nxt = jnp.where(is_leaf | ~any_box, tabi[2 * pn + node], node + 1)
+        nxt = jnp.where(is_leaf | ~any_box, tabo[pn + node], tabo[node])
         nxt = jnp.where(done, end, nxt)
         return nxt, occluded
 
@@ -650,15 +817,15 @@ def _walk_anyhit(tabf, tabi, pn, pt, off_tri, end, o, d, tmin, tmax, occ0):
 
 
 def _mega_anyhit_kernel(
-    bits_ref,
+    bits_ref, octs_ref,
     meshof_ref, w2o_ref,
-    tabf_hbm, tabi_hbm, rays_hbm, tmax_hbm, occ_in_hbm,
+    tabf_hbm, tabi_hbm, tabo_hbm, rays_hbm, tmax_hbm, occ_in_hbm,
     occ_out,
-    tabf, tabi, cur_mesh, pend_blk, ray_buf, tmax_buf, occ_buf,
+    tabf, tabi, tabo, cur_mesh, pend_blk, ray_buf, tmax_buf, occ_buf,
     sem_tab, sem_in, sem_out,
     *,
     tmin: float, group: int, pn: int, pt: int,
-    f32_len: int, i32_len: int, num_blocks: int,
+    f32_len: int, i32_len: int, oct_len: int, num_blocks: int,
 ):
     e = pl.program_id(0)
     num_e = pl.num_programs(0)
@@ -668,29 +835,43 @@ def _mega_anyhit_kernel(
     @pl.when(e == 0)
     def _():
         cur_mesh[0] = -1
+        cur_mesh[1] = -1
         pend_blk[0] = -1
         pend_blk[1] = -1
 
     mesh = meshof_ref[e]
     m = _read_w2o(w2o_ref, e)
 
-    @pl.when(cur_mesh[0] != mesh)
-    def _():
-        cur_mesh[0] = mesh
-        dma_f = pltpu.make_async_copy(
-            tabf_hbm.at[pl.ds(mesh * f32_len, f32_len)], tabf, sem_tab.at[0]
-        )
-        dma_i = pltpu.make_async_copy(
-            tabi_hbm.at[pl.ds(mesh * i32_len, i32_len)], tabi, sem_tab.at[1]
-        )
-        dma_f.start()
-        dma_i.start()
-        dma_f.wait()
-        dma_i.wait()
-
-    end = tabi[i32_len - 1]
-
     def process_block(b, slot):
+        @pl.when(cur_mesh[0] != mesh)
+        def _():
+            cur_mesh[0] = mesh
+            dma_f = pltpu.make_async_copy(
+                tabf_hbm.at[pl.ds(mesh * f32_len, f32_len)], tabf,
+                sem_tab.at[0],
+            )
+            dma_i = pltpu.make_async_copy(
+                tabi_hbm.at[pl.ds(mesh * i32_len, i32_len)], tabi,
+                sem_tab.at[1],
+            )
+            dma_f.start()
+            dma_i.start()
+            dma_f.wait()
+            dma_i.wait()
+
+        okey = mesh * 8 + octs_ref[b]
+        @pl.when(cur_mesh[1] != okey)
+        def _():
+            cur_mesh[1] = okey
+            dma_o = pltpu.make_async_copy(
+                tabo_hbm.at[pl.ds(okey * oct_len, oct_len)], tabo,
+                sem_tab.at[2],
+            )
+            dma_o.start()
+            dma_o.wait()
+
+        end = tabi[i32_len - 1]
+
         for s in range(2):
             @pl.when(pend_blk[s] == b)
             def _():
@@ -729,7 +910,8 @@ def _mega_anyhit_kernel(
             tmax = tmax_buf[slot, gs]
             occ0 = occ_buf[slot, gs]
             occ_buf[slot, gs] = _walk_anyhit(
-                tabf, tabi, pn, pt, off_tri, end, o, d, tmin, tmax, occ0
+                tabf, tabi, tabo, pn, pt, off_tri, end, o, d, tmin, tmax,
+                occ0
             )
 
         pltpu.make_async_copy(
@@ -738,17 +920,7 @@ def _mega_anyhit_kernel(
         ).start()
         pend_blk[slot] = b
 
-    def scan_body(b, slot):
-        word = bits_ref[e, b // 32]
-        bit = (word >> (b % 32)) & jnp.uint32(1)
-
-        def do(slot):
-            process_block(b, slot)
-            return (slot + 1) % 2
-
-        return jax.lax.cond(bit != 0, do, lambda s: s, slot)
-
-    jax.lax.fori_loop(0, num_blocks, scan_body, jnp.int32(0), unroll=False)
+    _scan_bitmask(bits_ref, e, num_blocks, process_block)
 
     @pl.when(e == num_e - 1)
     def _():
@@ -774,26 +946,35 @@ def mega_anyhit_sweep(
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
     pn, pt, f32_len, i32_len = static.mega_layout
+    oct_len = _align(2 * pn)
     num_blocks = p // BLOCK_PACKETS
 
-    bits = chunk_block_hits(scene, static, rays, tmax_reg, tmin)
+    bits, octs, depth = chunk_block_hits(scene, static, rays, tmax_reg,
+                                         tmin)
     entries = static.traversal_list
     e_n = len(entries)
     meshof = jnp.asarray([m for _, m in entries], jnp.int32)
     instid = jnp.asarray([i for i, _ in entries], jnp.int32)
+    # near-first entries: occluded lanes drop out of later chunk walks
+    perm = jnp.argsort(depth)
+    bits = jnp.take(bits, perm, axis=0)
+    meshof = jnp.take(meshof, perm)
+    instid = jnp.take(instid, perm)
     w2o = scene.w2o[instid].reshape(e_n, 12)
 
     kernel = functools.partial(
         _mega_anyhit_kernel,
         tmin=float(tmin), group=group, pn=pn, pt=pt,
-        f32_len=f32_len, i32_len=i32_len, num_blocks=num_blocks,
+        f32_len=f32_len, i32_len=i32_len, oct_len=oct_len,
+        num_blocks=num_blocks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(e_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -804,12 +985,13 @@ def mega_anyhit_sweep(
         scratch_shapes=[
             pltpu.SMEM((f32_len,), jnp.float32),
             pltpu.SMEM((i32_len,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((oct_len,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((3,)),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -818,8 +1000,8 @@ def mega_anyhit_sweep(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
-        input_output_aliases={7: 0},   # occ (after 1 prefetch + 6 ins)
+        input_output_aliases={9: 0},   # occ (after 2 prefetch + 8 ins)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(bits, meshof, w2o,
-      scene.mega_f32, scene.mega_i32, rays, tmax_reg, occ)
+    )(bits, octs, meshof, w2o,
+      scene.mega_f32, scene.mega_i32, scene.mega_oct, rays, tmax_reg, occ)
     return out
