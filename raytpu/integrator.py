@@ -81,6 +81,7 @@ class RenderStatic:
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
                            # 1024 = one native (8,128) VPU register — the
                            # Pallas kernel's packet width)
+    validation: bool = False  # in-jit NaN guards (utils/validation.jit_guard)
 
     @property
     def packet_size(self) -> int:
@@ -122,6 +123,7 @@ class RenderStatic:
             ray_chunk=config.ray_chunk,
             skybox_filter=config.skybox_filter,
             sky_sampler=config.sky_sampler,
+            validation=config.validation,
         )
 
 
@@ -308,6 +310,13 @@ def _trace_sample(
     _, _, _, tmp, _, miss_rec, miss_dir = jax.lax.while_loop(
         cond, body, (jnp.int32(0), o, d, tmp, active0, miss_rec, miss_dir)
     )
+    if rs.validation:
+        # per-frame in-jit NaN guard on the accumulated radiance + recorded
+        # miss directions (synchronization-validation analog, SURVEY.md §5)
+        from raytpu.utils.validation import jit_guard
+
+        tmp = jit_guard(tmp, "bounce-loop radiance")
+        miss_dir = jit_guard(miss_dir, "miss directions")
     # deferred skybox fetch (:90-94), z-flipped lookup; non-miss lanes
     # point at a fixed direction so their (masked-out) gather taps all hit
     # the same HBM line — the gather is random-access bound

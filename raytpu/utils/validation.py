@@ -62,6 +62,32 @@ def check_frame(image, context: str = "frame") -> None:
         )
 
 
+def jit_guard(arrays, context: str):
+    """In-jit NaN/Inf guard (the checkify-style analog of synchronization
+    validation, SURVEY.md §5): counts non-finite lanes across ``arrays``
+    (a tuple of same-shape float arrays) and reports through an ordered
+    ``jax.debug.callback`` when any appear — runs INSIDE the compiled frame,
+    so it fires even for intermediate state that never reaches the host.
+    Returns ``arrays`` unchanged (data-dependence keeps the check ordered).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bad = sum(
+        jnp.sum(~jnp.isfinite(a), dtype=jnp.int32) for a in arrays
+    )
+
+    def report(bad_count):
+        if int(bad_count) > 0:
+            log.error(
+                f"validation: {int(bad_count)} non-finite values in "
+                f"{context} (inside jit)"
+            )
+
+    jax.debug.callback(report, bad, ordered=False)
+    return arrays
+
+
 @contextlib.contextmanager
 def interpret_kernels():
     """Force Pallas interpret mode (kernel debugging; debug-printf analog)."""

@@ -6,6 +6,9 @@ JAX integrator and the scalar oracle implement the reference semantics
 independently and must agree pixel-for-pixel (up to float tolerance).
 """
 
+import dataclasses
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -188,3 +191,36 @@ def test_ray_chunking_equivalent(resources_dir):
     )
     img_chunked = base.render_np()
     np.testing.assert_allclose(img_full, img_chunked, atol=1e-6)
+
+
+def test_validation_jit_guard_fires(resources_dir, monkeypatch, capsys):
+    """RenderConfig.validation=True plants in-jit NaN guards that report
+    through an ordered debug callback when non-finite state appears."""
+    from raytpu.config import MaterialType, ObjectConfig
+    from raytpu.utils import log as rlog
+
+    errors = []
+    monkeypatch.setattr(rlog, "error", lambda msg: errors.append(msg))
+
+    objs = [ObjectConfig(f"{resources_dir}/cube.obj", MaterialType.DIFFUSE,
+                         "static")]
+    renderer, _, cfg = _scene_and_oracle(resources_dir, objs, spp=1,
+                                         max_bounces=0, size=16)
+    rs = dataclasses.replace(renderer.render_static, validation=True)
+    cam = np.asarray(renderer.camera.basis())
+
+    # clean camera: no reports
+    img = render_frame(renderer.device_scene, renderer.static, rs,
+                       jnp.asarray(cam))
+    jax.block_until_ready(img)
+    jax.effects_barrier()
+    assert not errors
+
+    # poisoned camera: the in-jit guard must fire
+    bad = cam.copy()
+    bad[3] = np.nan
+    img = render_frame(renderer.device_scene, renderer.static, rs,
+                       jnp.asarray(bad))
+    jax.block_until_ready(img)
+    jax.effects_barrier()
+    assert errors and "non-finite" in errors[0]
