@@ -7,10 +7,15 @@ traversal does in hardware) and tested against that mesh's geometry — brute
 force or threaded-BVH traversal depending on what is attached — keeping the
 closest world-parameterized ``t`` across instances.
 
-The per-instance Python loop is unrolled under jit; with the reference's
-two-instance scenes this is exactly two fused traversals. For large instance
-counts a top-level BVH over instance AABBs would slot in here (extension
-point; no reference config needs it — the reference itself has 2 instances).
+On the TPU hot path the flattened (instance, chunk) entry list is a GRID
+AXIS of the persistent megakernel (``ops/mega.py``) — one ``pallas_call``
+regardless of instance count, with per-entry root-box culling in the
+prepass — so instance count scales without per-instance dispatches. The
+CPU/fallback paths unroll a per-instance Python loop under jit (fine at
+reference scale; the reference itself is fixed at 2 instances,
+``include/config.h:6-16``). For scenes with very many instances the
+remaining extension point is a top-level BVH over instance AABBs feeding
+the same entry list.
 """
 
 from __future__ import annotations

@@ -224,3 +224,26 @@ def test_validation_jit_guard_fires(resources_dir, monkeypatch, capsys):
     jax.block_until_ready(img)
     jax.effects_barrier()
     assert errors and "non-finite" in errors[0]
+
+
+def test_three_instance_scene_matches_oracle(resources_dir):
+    """Instance-count scaling: the traversal layer iterates a flattened
+    (instance, chunk) entry list (a grid axis in the megakernel), so >2
+    instances — beyond the reference's fixed two (include/config.h:6-16)
+    — must shade correctly across all material types at once."""
+    from raytpu.utils import ssim
+
+    objs = [
+        ObjectConfig(f"{resources_dir}/cube.obj", MaterialType.DIFFUSE,
+                     "static"),
+        ObjectConfig(f"{resources_dir}/cube.obj", MaterialType.MIRROR,
+                     "orbit"),
+        ObjectConfig(f"{resources_dir}/cube.obj", MaterialType.REFRACTIVE,
+                     "spin"),
+    ]
+    renderer, osc, cfg = _scene_and_oracle(resources_dir, objs, spp=1,
+                                           max_bounces=3, size=32)
+    img = renderer.render_np()
+    ref = oracle.render(osc, _camera_tuple(renderer), 32, 32, 1, 3)
+    s = ssim(img, np.asarray(ref, np.float32), win=8)
+    assert s > 0.98, f"3-instance SSIM {s:.4f}"
