@@ -21,7 +21,7 @@ def main() -> int:
     frames = int(os.environ.get("RAYTPU_BENCH_FRAMES", "8"))
     depth = int(os.environ.get("RAYTPU_HIGHPOLY_DEPTH", "7"))
     matrix = os.environ.get("RAYTPU_BENCH_MATRIX", "1") != "0"
-    budget = float(os.environ.get("RAYTPU_BENCH_BUDGET_S", "600"))
+    budget = float(os.environ.get("RAYTPU_BENCH_BUDGET_S", "900"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import time as _time
