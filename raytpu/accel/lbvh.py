@@ -25,8 +25,6 @@ for static scenes; select with ``RenderConfig.bvh_builder = "lbvh"``.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

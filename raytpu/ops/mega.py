@@ -41,11 +41,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from raytpu.ops.intersect import BIG_T, LEAF_UNROLL
+from raytpu.ops.intersect import LEAF_UNROLL
 from raytpu.ops.traverse_pallas import (
     K_LANE,
     K_SUB,
-    PACKET_K,
     ST_INST,
     ST_MAT,
     ST_NX,

@@ -2,11 +2,13 @@
 
 The reference is strictly single-GPU (one queue, ``src/main.cpp:1017-1024``);
 the TPU-native scale axis is rays — embarrassingly parallel — so raytpu
-shards **pixel rows** across chips with ``shard_map`` over a 1-D
-``jax.sharding.Mesh`` (SURVEY.md §5). Scene data (BVH + triangles + skybox,
-≤ a few hundred MB) is replicated per chip; no collective is needed inside a
-frame — the only cross-chip data movement is the final tile gather, which
-XLA emits as an all-gather over ICI when the output sharding asks for it.
+shards whole **tile rows of the 32×32 tile-major packet stream** across
+chips with ``shard_map`` over a 1-D ``jax.sharding.Mesh`` (SURVEY.md §5):
+every device runs the identical single-chip hot path on its packet slice
+and detiles its own contiguous image row slab. Scene data (BVH + triangles
++ skybox, ≤ a few hundred MB) is replicated per chip; no collective is
+needed inside a frame — the frame stays row-sharded, and XLA emits an
+all-gather over ICI only if a consumer asks for the replicated image.
 
 For scenes exceeding per-chip HBM, the extension point is BVH sharding with
 ring-passed ray queues (ring-attention analog) — documented, not needed by
@@ -25,7 +27,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from raytpu.device_scene import DeviceScene, SceneStatic
 from raytpu.integrator import RenderStatic
@@ -48,7 +50,7 @@ def render_frame_sharded(
     camera: jnp.ndarray,
     mesh: Mesh,
 ) -> jnp.ndarray:
-    """Full-frame render sharded across ``mesh`` along the PACKET axis.
+    """Full-frame render sharded across ``mesh`` by whole tile rows.
 
     Shards the same 32×32 tile-major packet stream the single-chip
     ``render_frame`` traces (``integrator._tiled_pixels``), so every device
