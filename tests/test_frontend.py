@@ -169,3 +169,39 @@ def test_validation_mode(resources_dir):
 
     with pytest.raises(RaytpuError, match="non-finite"):
         check_frame(np.full((4, 4, 3), np.nan))
+
+
+def test_mouse_look_offsets_reference_convention():
+    """src/main.cpp:2863-2877: mouseDifference = previous - current; camera
+    gets (-mouseDifferenceX, mouseDifferenceY) * sensitivity. Dragging
+    right (+dx) must yaw right (+xoffset); dragging down (+dy) must pitch
+    DOWN (negative yoffset)."""
+    from raytpu.frontend.interactive import mouse_look_offsets
+
+    sens = 0.25
+    xo, yo = mouse_look_offsets(8.0, 0.0, sens)     # drag right
+    assert xo == 8.0 * sens and yo == 0.0
+    xo, yo = mouse_look_offsets(0.0, 6.0, sens)     # drag down
+    assert xo == 0.0 and yo == -6.0 * sens
+    # applied to the camera: pitch decreases on a downward drag
+    from raytpu.camera import Camera
+
+    cam = Camera()
+    p0 = cam.pitch
+    cam.process_mouse_movement(*mouse_look_offsets(0.0, 10.0, sens))
+    assert cam.pitch < p0
+
+
+def test_held_keys_chords():
+    """HeldKeys keeps recent keycodes active so OS key-repeat alternating
+    between held keys yields chords (reference key-state array analog,
+    src/main.cpp:28,83-93)."""
+    from raytpu.frontend.interactive import HeldKeys
+
+    hk = HeldKeys(hold_frames=3)
+    w, d = ord("w"), ord("d")
+    assert hk.poll(w) == {w}
+    assert hk.poll(d) == {w, d}       # both held
+    assert hk.poll(-1) == {w, d}      # no event: still held
+    assert hk.poll(-1) == {d}         # w expires first, d outlives it
+    assert hk.poll(-1) == set()       # all expired
