@@ -146,8 +146,16 @@ def cmd_flythrough(args) -> int:
 
 def cmd_bench(args) -> int:
     _apply_platform(args)
-    from raytpu.bench import run_benchmark
+    from raytpu.bench import run_benchmark, run_matrix
 
+    if getattr(args, "matrix", False):
+        result = run_matrix(
+            frames=args.frames or 4,
+            highpoly_depth=args.highpoly_depth,
+            budget_s=args.budget,
+        )
+        print(json.dumps(result))
+        return 0
     if args.preset is None and not args.mesh:
         args.preset = "config4"
     result = run_benchmark(
@@ -189,6 +197,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p = sub.add_parser("bench", help="throughput benchmark (prints one JSON line)")
     _add_scene_args(p)
     p.add_argument("--frames", type=int)
+    p.add_argument(
+        "--matrix", action="store_true",
+        help="benchmark every BASELINE preset (+ reference) in one run",
+    )
+    p.add_argument(
+        "--budget", type=float, default=900.0,
+        help="wall-clock budget in seconds for --matrix",
+    )
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("interactive", help="windowed WASD+mouse viewer")
