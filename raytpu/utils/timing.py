@@ -74,12 +74,28 @@ def mrays_per_sec(num_rays: int, seconds: float) -> float:
     return num_rays / max(seconds, 1e-12) / 1e6
 
 
-def measure_frame(render_fn, *args, warmup: int = 1, iters: int = 5):
+def measure_frame(render_fn, *args, warmup: int = 1, iters: int = 5,
+                  pipelined: bool = True):
     """Time a jitted frame function honestly (compile excluded, device
-    blocked). Returns (mean_seconds, per-iter list)."""
+    blocked). Returns (mean_seconds, per-iter list).
+
+    ``pipelined`` (default) enqueues all iterations and blocks once — the
+    per-frame device throughput a production host sees. Blocking on every
+    frame instead adds the full host→device dispatch latency per call,
+    which over the dev tunnel is many ms and swamps fast frames (a 1.5 ms
+    frame measured 25 ms that way); pass ``pipelined=False`` to measure
+    strict call-return latency.
+    """
     for _ in range(warmup):
         out = render_fn(*args)
         out.block_until_ready()
+    if pipelined:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = render_fn(*args)
+        out.block_until_ready()
+        total = time.perf_counter() - t0
+        return total / iters, [total]
     times: List[float] = []
     for _ in range(iters):
         t0 = time.perf_counter()
