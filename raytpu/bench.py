@@ -101,7 +101,6 @@ def profile_stages(
         make_trace_state,
         pack_rays,
     )
-    from raytpu.utils import StageTimes
 
     scene, static = renderer.device_scene, renderer.static
     cam = jnp.asarray(renderer.camera.basis())
@@ -121,16 +120,20 @@ def profile_stages(
     p = o[0].shape[0]
     lane_tmax = jnp.where(in_frame, jnp.float32(RAY_TMAX), 0.0)
 
-    st = StageTimes()
     times: Dict[str, float] = {}
 
     def timed(name, fn, *args):
+        """Pipelined stage timing (see utils.timing.measure_frame: blocking
+        per call measures tunnel dispatch latency, not device time)."""
+        import time as _t
+
         out = fn(*args)
         jax.block_until_ready(out)
+        t0 = _t.perf_counter()
         for _ in range(frames):
-            with st.stage(name, block=lambda: jax.block_until_ready(fn(*args))):
-                pass
-        times[name] = st.mean(name) * 1e3
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times[name] = (_t.perf_counter() - t0) / frames * 1e3
         return out
 
     if _use_mega(static, p, PACKET_K):
