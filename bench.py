@@ -33,7 +33,7 @@ def main() -> int:
     # optional extras, each gated on remaining wall budget so the headline
     # line always lands well inside any driver timeout (compiles over the
     # dev tunnel can take minutes each)
-    if _time.perf_counter() - t0 < budget * 0.4:
+    if _time.perf_counter() - t0 < budget * 0.62:
         from raytpu.bench import profile_stages as _ps
         from raytpu.presets import load_preset_scene as _lps
         from raytpu.render import Renderer as _R
