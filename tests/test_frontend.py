@@ -205,3 +205,31 @@ def test_held_keys_chords():
     assert hk.poll(-1) == {w, d}      # no event: still held
     assert hk.poll(-1) == {d}         # w expires first, d outlives it
     assert hk.poll(-1) == set()       # all expired
+
+
+def test_measure_frame_pipelined(monkeypatch):
+    """measure_frame must enqueue all iterations before blocking (device
+    throughput), and pipelined=False must block every call."""
+    import raytpu.utils.timing as timing
+
+    calls = {"fn": 0, "block": 0}
+
+    class Out:
+        def block_until_ready(self):
+            calls["block"] += 1
+            return self
+
+    def fn():
+        calls["fn"] += 1
+        return Out()
+
+    mean, times = timing.measure_frame(fn, warmup=1, iters=5)
+    assert calls["fn"] == 6                 # 1 warmup + 5 timed
+    assert calls["block"] == 2              # warmup + one final barrier
+    assert mean >= 0 and len(times) == 1
+
+    calls["fn"] = calls["block"] = 0
+    mean, times = timing.measure_frame(fn, warmup=1, iters=3,
+                                       pipelined=False)
+    assert calls["fn"] == 4 and calls["block"] == 4
+    assert len(times) == 3
