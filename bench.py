@@ -7,6 +7,10 @@ armadillo-class 1080p 3-bounce Whitted scene (config 4).
 
 Runs on the default platform (the real TPU chip under axon); set
 RAYTPU_BENCH_PRESET / RAYTPU_BENCH_FRAMES / RAYTPU_HIGHPOLY_DEPTH to vary.
+
+``python bench.py --selftest`` runs ONLY the megakernel bit-identity gate
+(mega vs chained-Pallas low-res frame, exact equality — the CLAUDE.md
+invariant) and exits 0/1 on match/mismatch.
 """
 
 import json
@@ -26,25 +30,15 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import time as _time
 
-    from raytpu.bench import run_benchmark, run_matrix
+    from raytpu.bench import bit_identity_check, run_benchmark, run_matrix
+
+    if "--selftest" in sys.argv[1:]:
+        r = bit_identity_check()
+        print(json.dumps(r))
+        return 0 if r.get("ok", False) or "skipped" in r else 1
 
     t0 = _time.perf_counter()
     r = run_benchmark(preset=preset, frames=frames, highpoly_depth=depth)
-    # optional extras, each gated on remaining wall budget so the headline
-    # line always lands well inside any driver timeout (compiles over the
-    # dev tunnel can take minutes each)
-    if _time.perf_counter() - t0 < budget * 0.62:
-        from raytpu.bench import profile_stages as _ps
-        from raytpu.presets import load_preset_scene as _lps
-        from raytpu.render import Renderer as _R
-
-        try:
-            sc = _lps(preset, highpoly_depth=depth)
-            rr = _R(sc)
-            rr.set_transforms(0.0)
-            r["stage_ms"] = _ps(rr, rr.render_static)
-        except Exception as e:
-            r["stage_error"] = repr(e)
     out = {
         "metric": f"traced Mrays/s per chip ({preset}: {r['width']}x{r['height']}, "
                   f"{r['spp']}spp, {r['max_bounces']}-bounce, "
@@ -54,11 +48,10 @@ def main() -> int:
         "unit": "Mrays/s",
         "vs_baseline": round(r["mrays_per_s"] / NORTH_STAR_MRAYS, 4),
     }
-    if "stage_ms" in r:
-        out["stage_ms"] = {k: round(v, 2) for k, v in r["stage_ms"].items()}
     if matrix:
-        # the full BASELINE matrix (VERDICT round-1 item 4) under the
-        # REMAINING wall budget; the headline metric above always lands
+        # the full BASELINE matrix including the reference 63-bounce default
+        # preset runs BEFORE any budget-gated diagnostics, so the driver
+        # record always captures every config (VERDICT r2 item 6)
         others = [p for p in
                   ("config1", "config2", "config3", "config5", "reference")
                   if p != preset]
@@ -73,6 +66,34 @@ def main() -> int:
             if k in ("width", "height", "spp", "max_bounces",
                      "rays_per_frame", "frame_ms", "fps", "mrays_per_s")
         }
+    # megakernel bit-identity gate (cheap low-res check; the validation-
+    # layer analog) — recorded in the driver artifact every TPU bench
+    if _time.perf_counter() - t0 < budget * 0.75:
+        try:
+            bi = bit_identity_check()
+            if "ok" in bi:
+                out["bit_identical"] = bi["ok"]
+                if not bi["ok"]:
+                    out["bit_identity_detail"] = bi
+        except Exception as e:
+            out["bit_identity_error"] = repr(e)
+    # per-stage profiling is diagnostics; it runs LAST under the remaining
+    # budget so it can never crowd out the benchmark matrix
+    if _time.perf_counter() - t0 < budget * 0.62:
+        from raytpu.bench import profile_stages as _ps
+        from raytpu.presets import load_preset_scene as _lps
+        from raytpu.render import Renderer as _R
+
+        try:
+            sc = _lps(preset, highpoly_depth=depth)
+            rr = _R(sc)
+            rr.set_transforms(0.0)
+            out["stage_ms"] = {
+                k: round(v, 2)
+                for k, v in _ps(rr, rr.render_static).items()
+            }
+        except Exception as e:
+            out["stage_error"] = repr(e)
     print(json.dumps(out))
     return 0
 

@@ -137,7 +137,15 @@ def profile_stages(
         return out
 
     if _use_mega(static, p, PACKET_K):
-        from raytpu.ops.mega import chunk_block_hits, mega_closest_sweep
+        from raytpu.config import HIT_EPSILON
+        from raytpu.ops import shade
+        from raytpu.ops import vec3 as v3
+        from raytpu.ops.mega import (
+            chunk_block_hits,
+            mega_anyhit_sweep,
+            mega_closest_sweep,
+        )
+        from raytpu.ops.traverse_pallas import unpack_state
 
         rays = pack_rays(o, d)
         group = rs.sample_group
@@ -150,10 +158,49 @@ def profile_stages(
                 mega_closest_sweep, scene, static, tmin=RAY_TMIN, group=group
             )
         )
-        timed(
+        state1 = timed(
             "closest_sweep",
             lambda r: sweep(rays=r, state=make_trace_state(lane_tmax)),
             rays,
+        )
+        # --- derive the j=0 continuations exactly as the integrator does,
+        # so the shadow / bounce stages see the REAL sparse-lane shapes ---
+        t, valid, mat, inst, n, u, v = unpack_state(state1, p, PACKET_K)
+        n = v3.normalize(n)
+        hit_mask = in_frame & valid
+        pos = v3.add(o, v3.scale(t, d))
+        lit = hit_mask & (mat == 0) & (v3.dot(d, n) < 0.0)
+        shadow_o = v3.add(pos, v3.scale(HIT_EPSILON, n))
+        to_light = tuple(scene.light_pos[c] - pos[c] for c in range(3))
+        light_dist = v3.norm(to_light)
+        l = v3.scale(1.0 / jnp.maximum(light_dist, 1e-30), to_light)
+        shadow_rays = pack_rays(shadow_o, l)
+        shadow_win = jnp.where(lit, light_dist, 0.0).reshape(p, 8, 128)
+        anyhit = jax.jit(
+            functools.partial(
+                mega_anyhit_sweep, scene, static, tmin=RAY_TMIN, group=group
+            )
+        )
+        timed(
+            "shadow_anyhit",
+            lambda r, w: anyhit(
+                rays=r, tmax_reg=w, occ=jnp.zeros((p, 8, 128), jnp.int32)
+            ),
+            shadow_rays,
+            shadow_win,
+        )
+        o_m, d_m = shade.mirror_bounce_soa(d, n, pos)
+        o_r, d_r = shade.refract_bounce_soa(d, n, pos)
+        is_mirror = hit_mask & (mat == 1)
+        cont = is_mirror | (hit_mask & (mat == 2))
+        o_b = v3.where(cont, v3.where(is_mirror, o_m, o_r), o)
+        d_b = v3.where(cont, v3.where(is_mirror, d_m, d_r), d)
+        bounce_tmax = jnp.where(cont, jnp.float32(RAY_TMAX), 0.0)
+        timed(
+            "bounce_sweep",
+            lambda r, w: sweep(rays=r, state=make_trace_state(w)),
+            pack_rays(o_b, d_b),
+            bounce_tmax,
         )
     # deferred sky fetch at full wave width
     from raytpu.ops import sky_mxu
@@ -177,6 +224,59 @@ def profile_stages(
             )
         timed("sky", sky_fn, (d[0], d[1], jnp.negative(d[2])))
     return times
+
+
+def bit_identity_check(
+    preset="config2",
+    width: int = 128,
+    height: int = 96,
+    highpoly_depth: int = 5,
+) -> Dict:
+    """TPU-only validation gate: render one low-res frame with the
+    megakernel (``traversal='mega'``) and with the chained per-chunk Pallas
+    kernels (``traversal='pallas'``, the reference implementation) and
+    compare EXACT bits — the CLAUDE.md invariant, automated (the analog of
+    the reference's always-on validation layers, ``src/main.cpp:813-848``).
+
+    Returns ``{"ok": bool, "n_diff": int, "max_abs_diff": float, ...}``;
+    ``{"skipped": ...}`` off-TPU (the mega path only exists compiled).
+
+    Known caveat (documented, not tested): on geometry with exactly
+    coincident triangles visible through different instances/chunks, the
+    two paths' different visit orders (octant near-first + depth-sorted
+    entries vs build order) may break strict-`<` ties differently; the
+    preset scenes have no coincident geometry.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "mega path is TPU-only"}
+    scene = load_preset_scene(preset, highpoly_depth=highpoly_depth)
+    scene.config = scene.config.replace(width=width, height=height)
+    renderer = Renderer(scene)
+    renderer.set_transforms(0.0)
+    rs = renderer.render_static
+    cam = jnp.asarray(renderer.camera.basis())
+    imgs = {}
+    for mode in ("mega", "pallas"):
+        static = dataclasses.replace(renderer.static, traversal=mode)
+        imgs[mode] = np.asarray(
+            render_frame(renderer.device_scene, static, rs, cam)
+        )
+    diff = imgs["mega"] != imgs["pallas"]
+    n_diff = int(diff.sum())
+    return {
+        "ok": n_diff == 0,
+        "n_diff": n_diff,
+        "max_abs_diff": float(
+            np.abs(imgs["mega"] - imgs["pallas"]).max()
+        ),
+        "preset": preset,
+        "width": width,
+        "height": height,
+    }
 
 
 def run_benchmark(

@@ -103,7 +103,13 @@ def ray_aabb(
     t1 = (box_max - origin) * inv_dir
     # 0·inf NaNs (origin component exactly on a slab plane with a zero
     # direction component) must not constrain: the ray lies in the slab,
-    # so that axis contributes (-inf, +inf)
+    # so that axis contributes (-inf, +inf).
+    # NOTE: the Pallas slab tests (traverse_pallas._slab / mega._slab_tab)
+    # intentionally PROPAGATE that NaN (compares false → node skipped) to
+    # keep the hot loop minimal; for such measure-zero rays traversal="xla"
+    # may therefore report a hit this path finds via a node the Pallas
+    # walks skip. The bit-identity invariant pairs are pallas↔mega (which
+    # share the NaN behavior), not xla↔pallas.
     lo = jnp.minimum(t0, t1)
     hi = jnp.maximum(t0, t1)
     lo = jnp.where(jnp.isnan(lo), -jnp.inf, lo)

@@ -27,7 +27,17 @@ Replaces ``traceRayEXT`` scheduling (``src/shader.rgen:84-87,111-112``);
 semantics (and bits) are identical to the chained per-chunk kernels in
 ``ops/traverse_pallas.py`` — the chain path remains the CPU/interpret
 reference implementation (the mega path is TPU-only: interpret mode does
-not model aliased block revisits).
+not model aliased block revisits). Enforced on TPU by
+``raytpu.bench.bit_identity_check`` (run inside every driver bench and by
+``tests/test_mega.py::test_mega_bit_identity``).
+
+Bit-identity caveats (implementation-defined tie order): octant-ordered
+walks + depth-sorted entries visit triangles/entries in a different order
+than the chained path, and hits merge with strict ``t < best_t``, so
+EXACTLY-tied hits (coincident coplanar triangles across chunks or
+instances) resolve first-wins and may yield a different mat/normal/u/v
+than the chain. No preset scene contains coincident geometry; scenes that
+do fall outside the invariant.
 """
 
 from __future__ import annotations

@@ -77,7 +77,9 @@ def mrays_per_sec(num_rays: int, seconds: float) -> float:
 def measure_frame(render_fn, *args, warmup: int = 1, iters: int = 5,
                   pipelined: bool = True):
     """Time a jitted frame function honestly (compile excluded, device
-    blocked). Returns (mean_seconds, per-iter list).
+    blocked). Returns (mean_seconds, per-iter list); in pipelined mode the
+    list has a single entry — the mean — since enqueue-all/block-once has
+    no per-iteration resolution.
 
     ``pipelined`` (default) enqueues all iterations and blocks once — the
     per-frame device throughput a production host sees. Blocking on every
@@ -95,7 +97,7 @@ def measure_frame(render_fn, *args, warmup: int = 1, iters: int = 5,
             out = render_fn(*args)
         out.block_until_ready()
         total = time.perf_counter() - t0
-        return total / iters, [total]
+        return total / iters, [total / iters]
     times: List[float] = []
     for _ in range(iters):
         t0 = time.perf_counter()

@@ -65,10 +65,11 @@ def check_frame(image, context: str = "frame") -> None:
 def jit_guard(arrays, context: str):
     """In-jit NaN/Inf guard (the checkify-style analog of synchronization
     validation, SURVEY.md §5): counts non-finite lanes across ``arrays``
-    (a tuple of same-shape float arrays) and reports through an ordered
-    ``jax.debug.callback`` when any appear — runs INSIDE the compiled frame,
-    so it fires even for intermediate state that never reaches the host.
-    Returns ``arrays`` unchanged (data-dependence keeps the check ordered).
+    (a tuple of same-shape float arrays) and reports through an UNORDERED
+    best-effort ``jax.debug.callback`` when any appear — runs INSIDE the
+    compiled frame, so it fires even for intermediate state that never
+    reaches the host (diagnostics only; the report may arrive after the
+    frame returns). Returns ``arrays`` unchanged.
     """
     import jax
     import jax.numpy as jnp

@@ -2,8 +2,11 @@
 prepass (conservativeness), and dispatch gating.
 
 The compiled kernel itself is TPU-only (interpret mode does not model
-aliased block revisits); on TPU `bench.py --selftest` asserts bit-equality
-of the mega path against the chained per-chunk reference path.
+aliased block revisits); on TPU its bit-equality against the chained
+per-chunk reference path is enforced by :func:`test_mega_bit_identity`
+below (TPU-gated) and by ``python bench.py --selftest`` /
+``raytpu.bench.bit_identity_check`` (also run inside every driver bench,
+emitting ``bit_identical`` into the bench JSON).
 """
 
 import numpy as np
@@ -274,3 +277,19 @@ def test_mega_gating_off_tpu(two_box_renderer):
     if jax.default_backend() == "tpu":
         pytest.skip("gating test is for non-TPU backends")
     assert not _use_mega(r.static, BLOCK_PACKETS * 4, PACKET_K)
+
+
+def test_mega_bit_identity():
+    """TPU-only: the megakernel frame must be BIT-IDENTICAL to the chained
+    per-chunk Pallas reference path (the CLAUDE.md invariant, automated —
+    the analog of the reference's validation layers,
+    ``src/main.cpp:813-848``). The same check runs inside every driver
+    bench via ``bit_identity_check`` / ``bench.py --selftest``."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("mega path is TPU-only")
+    from raytpu.bench import bit_identity_check
+
+    r = bit_identity_check()
+    assert r.get("ok", False), r
