@@ -182,6 +182,62 @@ def attach_bvh(
             )
             mega_layout = (pad_n, pad_t, f32_len, i32_len)
 
+    # anyhit-specialized chunk set (ops/mega.py MegaLayout normals=False):
+    # an independent, coarser Morton partition per mesh — occlusion is an
+    # order-independent OR over triangles, so the different partition is
+    # bit-identical by construction (see mega_anyhit_sweep)
+    mega_shadow_layout = None
+    shadow_trav = ()
+    if mega_layout is not None:
+        from raytpu.accel.chunking import CHUNK_TRIS_SHADOW
+        from raytpu.ops.mega import OCTANTS, pack_mega_tables
+
+        sh_chunks = []
+        mesh_sh_chunks = []
+        for mesh_id, (start, count) in enumerate(static.mesh_prim_ranges):
+            v0 = v0_all[start : start + count]
+            e1 = e1_all[start : start + count]
+            e2 = e2_all[start : start + count]
+            if count > CHUNK_TRIS_SHADOW:
+                m_order, ranges = chunk_order(
+                    v0, e1, e2, chunk_tris=CHUNK_TRIS_SHADOW
+                )
+                pieces = [m_order[s : s + c] for (s, c) in ranges]
+            else:
+                pieces = [np.arange(count, dtype=np.int64)]
+            ids = []
+            for sel in pieces:
+                bvh = build(v0[sel], e1[sel], e2[sel])
+                order = bvh.tri_order.astype(np.int64)
+                ids.append(len(sh_chunks))
+                sh_chunks.append({
+                    "aabb_min": bvh.aabb_min, "aabb_max": bvh.aabb_max,
+                    "first": bvh.tri_first, "count": bvh.tri_count,
+                    "miss": bvh.miss,
+                    "v0": v0[sel][order], "e1": e1[sel][order],
+                    "e2": e2[sel][order],
+                })
+            mesh_sh_chunks.append(tuple(ids))
+        sf32, si32, soct, sroot, (spad_n, spad_t) = pack_mega_tables(
+            sh_chunks, normals=False
+        )
+        sf32_len = sf32.size // len(sh_chunks)
+        si32_len = si32.size // len(sh_chunks)
+        soct_len = soct.size // (len(sh_chunks) * OCTANTS)
+        if (sf32_len + si32_len + soct_len) * 4 <= 960 * 1024:
+            dev = dev._replace(
+                mega_sh_f32=jnp.asarray(sf32),
+                mega_sh_i32=jnp.asarray(si32),
+                mega_sh_oct=jnp.asarray(soct),
+                mega_sh_root=jnp.asarray(sroot),
+            )
+            mega_shadow_layout = (spad_n, spad_t, sf32_len, si32_len)
+            shadow_trav = tuple(
+                (inst_id, chunk)
+                for inst_id, mesh_id in enumerate(static.instance_mesh)
+                for chunk in mesh_sh_chunks[mesh_id]
+            )
+
     # replace() keeps every field not owned by the BVH stage (e.g. sky_hw)
     static_out = dataclasses.replace(
         static,
@@ -191,5 +247,7 @@ def attach_bvh(
         mesh_pallas_ok=tuple(padded_fit for _ in node_ranges),
         trav_instances=trav_instances,
         mega_layout=mega_layout,
+        mega_shadow_layout=mega_shadow_layout,
+        shadow_traversal_list=shadow_trav,
     )
     return dev, static_out

@@ -28,6 +28,11 @@ from raytpu.ops.traverse_pallas import fits_smem
 # chunks directly cut the per-(packet,chunk) grid-step floor (~0.5µs each).
 CHUNK_TRIS = 9216
 
+# anyhit-specialized chunks drop the 9 normal planes (~64B/tri incl.
+# nodes), so occlusion sweeps fit ~1.5× more triangles per SMEM chunk —
+# fewer entries (root parks) and table DMAs per shadow sweep.
+CHUNK_TRIS_SHADOW = 13824
+
 
 def morton_codes(centroids: np.ndarray) -> np.ndarray:
     """30-bit Morton codes of centroids normalized to their AABB."""

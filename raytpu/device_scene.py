@@ -91,6 +91,14 @@ class DeviceScene(NamedTuple):
     mega_oct: Optional[jnp.ndarray] = None   # (Cmesh * 8 * O,) int32
     mega_root: Optional[jnp.ndarray] = None  # (Cmesh, 6) float32
 
+    # anyhit-specialized chunk tables (no normal planes, ~1.55x triangles
+    # per chunk): occlusion sweeps walk these — fewer entries and table
+    # DMAs; bit-identical because occlusion is an order-independent OR
+    mega_sh_f32: Optional[jnp.ndarray] = None   # (Cs * Fs,) float32
+    mega_sh_i32: Optional[jnp.ndarray] = None   # (Cs * Is,) int32
+    mega_sh_oct: Optional[jnp.ndarray] = None   # (Cs * 8 * Os,) int32
+    mega_sh_root: Optional[jnp.ndarray] = None  # (Cs, 6) float32
+
     def with_transforms(
         self, o2w: np.ndarray, w2o: np.ndarray
     ) -> "DeviceScene":
@@ -126,6 +134,11 @@ class SceneStatic:
     # megakernel table layout (pad_nodes, pad_tris_incl_guard, f32_len,
     # i32_len); None when the mega tables are not attached
     mega_layout: Optional[Tuple[int, int, int, int]] = None
+    # anyhit-specialized chunk-table layout + its (instance, shadow-chunk)
+    # entry list; None/() when not attached (occlusion then walks the main
+    # chunk set)
+    mega_shadow_layout: Optional[Tuple[int, int, int, int]] = None
+    shadow_traversal_list: Tuple[Tuple[int, int], ...] = ()
 
     @property
     def traversal_list(self) -> Tuple[Tuple[int, int], ...]:

@@ -84,16 +84,25 @@ def _align(n: int) -> int:
 # ---------------------------------------------------------------------------
 
 class MegaLayout:
-    """Static layout constants of the packed per-chunk tables."""
+    """Static layout constants of the packed per-chunk tables.
 
-    def __init__(self, pad_nodes: int, pad_tris: int):
+    ``normals=False`` builds the anyhit-specialized layout: occlusion walks
+    never read shading normals, so dropping the 9 normal planes fits ~55%
+    more triangles per SMEM-resident chunk (fewer entries per shadow sweep,
+    fewer table DMAs). Occlusion is an order-independent OR over triangles,
+    so a different chunk partition is bit-identical by construction."""
+
+    def __init__(self, pad_nodes: int, pad_tris: int, normals: bool = True):
         self.pad_nodes = pad_nodes
         self.pad_tris = pad_tris + LEAF_UNROLL   # leaf blocks stay in-bounds
-        # f32 table: 6 box planes | 9 tri corner planes | 9 normal planes
+        self.normals = normals
+        # f32 table: 6 box planes | 9 tri corner planes | [9 normal planes]
         self.off_box = 0
         self.off_tri = 6 * self.pad_nodes
         self.off_nrm = self.off_tri + 9 * self.pad_tris
-        self.f32_len = _align(self.off_nrm + 9 * self.pad_tris)
+        self.f32_len = _align(
+            self.off_nrm + (9 * self.pad_tris if normals else 0)
+        )
         # i32 table: first | count | miss | node-count sentinel (last slot)
         self.i32_len = _align(3 * self.pad_nodes + 1)
         # per-(chunk, octant) ordering table: succ | skip
@@ -176,19 +185,20 @@ def octant_links(
     return succ.astype(np.int32), skip.astype(np.int32)
 
 
-def pack_mega_tables(chunks) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
-                                      np.ndarray, Tuple[int, int]]:
+def pack_mega_tables(chunks, normals: bool = True) -> Tuple[
+        np.ndarray, np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
     """Pack per-chunk BVH tables into flat DMA-able arrays.
 
     ``chunks``: list of dicts with keys aabb_min/aabb_max (n,3), first,
-    count, miss (n,), v0/e1/e2 (t,3), n_soa (9,t).
+    count, miss (n,), v0/e1/e2 (t,3), n_soa (9,t) (n_soa ignored with
+    ``normals=False`` — the anyhit-specialized layout).
 
     Returns (f32tab (C*F,), i32tab (C*I,), octtab (C*8*O,), roots (C, 6),
     (pad_nodes, pad_tris)) where pad_tris INCLUDES the LEAF_UNROLL guard.
     """
     pad_nodes = max(c["aabb_min"].shape[0] for c in chunks)
     pad_tris = max(c["v0"].shape[0] for c in chunks)
-    lay = MegaLayout(pad_nodes, pad_tris)
+    lay = MegaLayout(pad_nodes, pad_tris, normals=normals)
     cN = len(chunks)
     f32 = np.zeros((cN, lay.f32_len), np.float32)
     i32 = np.zeros((cN, lay.i32_len), np.int32)
@@ -214,10 +224,11 @@ def pack_mega_tables(chunks) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
             for a in range(3):
                 o = base + (p * 3 + a) * lay.pad_tris
                 f32[ci, o : o + t] = arr[:, a]
-        base = lay.off_nrm
-        for p in range(9):
-            o = base + p * lay.pad_tris
-            f32[ci, o : o + t] = c["n_soa"][p]
+        if normals:
+            base = lay.off_nrm
+            for p in range(9):
+                o = base + p * lay.pad_tris
+                f32[ci, o : o + t] = c["n_soa"][p]
         i32[ci, :n] = c["first"]
         i32[ci, lay.pad_nodes : lay.pad_nodes + n] = c["count"]
         i32[ci, 2 * lay.pad_nodes : 2 * lay.pad_nodes + n] = c["miss"]
@@ -235,37 +246,49 @@ def pack_mega_tables(chunks) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
 # per-block stats row: o_lo(3) o_hi(3) d_lo(3) d_hi(3) t_hi neg(3) n_live
 STATS_W = 17
 
+# DMA blocks reduced per stats grid step. One-block steps are grid-step-
+# latency bound (~6 us each — 6+ ms of prepass at 1080p x 4spp); batching
+# amortizes the fixed cost while the per-block reductions stay vectorized.
+STATS_SUPER = 16
 
-def _block_stats_kernel(rays_ref, win_ref, out_ref, *, tmin):
-    """One fused pass per DMA block: masked ray bounds + window max +
-    per-axis negative-direction counts. Replaces ~16 separate XLA
-    reduction passes over the frame (each re-reading rays/window from HBM)
-    with a single windowed read. ``out_ref`` is the WHOLE (PB, STATS_W)
-    SMEM array (blocked small outputs are not lowerable); each grid step
-    writes its own row."""
+
+def _block_stats_kernel(rays_ref, win_ref, out_ref, *, tmin, num_blocks):
+    """One fused pass per STATS_SUPER blocks: masked ray bounds + window
+    max + per-axis negative-direction counts per DMA block. Replaces ~16
+    separate XLA reduction passes over the frame (each re-reading
+    rays/window from HBM) with a single windowed read. ``out_ref`` is the
+    WHOLE (PB, STATS_W) SMEM array (blocked small outputs are not
+    lowerable); each grid step writes its own rows."""
     i = pl.program_id(0)
-    live = win_ref[...] > tmin
     big = jnp.float32(3e38)
-    vals = []
-    for c in range(6):
-        x = rays_ref[c]
-        vals.append(jnp.min(jnp.where(live, x, big)))
-        vals.append(jnp.max(jnp.where(live, x, -big)))
-    o_lo = vals[0::2][:3]
-    o_hi = vals[1::2][:3]
-    d_lo = vals[0::2][3:]
-    d_hi = vals[1::2][3:]
-    t_hi = jnp.max(jnp.where(live, win_ref[...], 0.0))
-    neg = [
-        jnp.sum(
-            jnp.where(live & (rays_ref[3 + c] < 0), 1.0, 0.0)
-        )
-        for c in range(3)
-    ]
-    n_live = jnp.sum(jnp.where(live, 1.0, 0.0))
-    row = o_lo + o_hi + d_lo + d_hi + [t_hi] + neg + [n_live]
-    for j, v in enumerate(row):
-        out_ref[i, j] = v
+    for s in range(STATS_SUPER):
+        b = i * STATS_SUPER + s
+        sl = slice(s * BLOCK_PACKETS, (s + 1) * BLOCK_PACKETS)
+
+        @pl.when(b < num_blocks)
+        def _(b=b, sl=sl):
+            win = win_ref[sl]
+            live = win > tmin
+            vals = []
+            for c in range(6):
+                x = rays_ref[c, sl]
+                vals.append(jnp.min(jnp.where(live, x, big)))
+                vals.append(jnp.max(jnp.where(live, x, -big)))
+            o_lo = vals[0::2][:3]
+            o_hi = vals[1::2][:3]
+            d_lo = vals[0::2][3:]
+            d_hi = vals[1::2][3:]
+            t_hi = jnp.max(jnp.where(live, win, 0.0))
+            neg = [
+                jnp.sum(
+                    jnp.where(live & (rays_ref[3 + c, sl] < 0), 1.0, 0.0)
+                )
+                for c in range(3)
+            ]
+            n_live = jnp.sum(jnp.where(live, 1.0, 0.0))
+            row = o_lo + o_hi + d_lo + d_hi + [t_hi] + neg + [n_live]
+            for j, v in enumerate(row):
+                out_ref[b, j] = v
 
 
 def _block_stats(rays: jnp.ndarray, window: jnp.ndarray, tmin: float):
@@ -276,29 +299,34 @@ def _block_stats(rays: jnp.ndarray, window: jnp.ndarray, tmin: float):
     p = rays.shape[1]
     pb = p // BLOCK_PACKETS
     interpret = jax.default_backend() != "tpu"
+    bp = BLOCK_PACKETS
     return pl.pallas_call(
-        _ft.partial(_block_stats_kernel, tmin=float(tmin)),
-        grid=(pb,),
+        _ft.partial(
+            _block_stats_kernel, tmin=float(tmin), num_blocks=pb
+        ),
+        grid=(-(-pb // STATS_SUPER),),
         in_specs=[
             pl.BlockSpec(
-                (6, BLOCK_PACKETS, 8, 128), lambda i: (0, i, 0, 0)
+                (6, STATS_SUPER * bp, 8, 128), lambda i: (0, i, 0, 0)
             ),
-            pl.BlockSpec((BLOCK_PACKETS, 8, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((STATS_SUPER * bp, 8, 128), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((pb, STATS_W), jnp.float32),
         interpret=interpret,
     )(rays, window)
 
-def _world_root_boxes(scene, static):
+def _world_root_boxes(scene, static, roots=None, entries=None):
     """Per traversal entry: chunk root AABB transformed to world space.
 
     AABB transform by affine M via the |linear| trick (exact for
     AABB -> enclosing AABB).
     Returns (lo, hi): two (E, 3) arrays.
     """
-    roots = scene.mega_root                    # (Cmesh, 6)
-    entries = static.traversal_list
+    if roots is None:
+        roots = scene.mega_root                # (Cmesh, 6)
+    if entries is None:
+        entries = static.traversal_list
     mesh_ids = jnp.asarray([m for _, m in entries], jnp.int32)
     inst_ids = jnp.asarray([i for i, _ in entries], jnp.int32)
     r = jnp.take(roots, mesh_ids, axis=0)      # (E, 6)
@@ -319,6 +347,8 @@ def chunk_block_hits(
     rays: jnp.ndarray,        # (6, P, 8, 128) packed world rays
     window: jnp.ndarray,      # (P, 8, 128) per-lane trace window (<=0 dead)
     tmin: float,
+    roots=None,               # (E_set, 6) chunk roots (default: main set)
+    entries=None,             # ((inst, chunk), ...) (default: main set)
 ) -> jnp.ndarray:
     """Conservative (entry, block) culling + block octants + entry depths.
 
@@ -336,6 +366,8 @@ def chunk_block_hits(
       carried per-lane ``best_t`` tighten before far chunks are visited, so
       an occluded chunk's walk parks at its root box test (the chunk-level
       front-to-back analog of ordered traversal)."""
+    if entries is None:
+        entries = static.traversal_list
     p = rays.shape[1]
     pb = p // BLOCK_PACKETS
     big = jnp.float32(3e38)
@@ -349,7 +381,7 @@ def chunk_block_hits(
     neg_maj = (stats[:, 13:16] * 2 > n_live[:, None]).astype(jnp.int32)
     octs = neg_maj[:, 0] | (neg_maj[:, 1] << 1) | (neg_maj[:, 2] << 2)
 
-    box_lo, box_hi = _world_root_boxes(scene, static)  # (E, 3)
+    box_lo, box_hi = _world_root_boxes(scene, static, roots, entries)
 
     # interval reciprocal of [d_lo, d_hi]: sign-spanning -> (-inf, inf)
     spans = (d_lo <= 0.0) & (d_hi >= 0.0)              # (PB, 3)
@@ -369,9 +401,8 @@ def chunk_block_hits(
         t_hi_ = functools.reduce(jnp.maximum, cands)
         return t_lo, t_hi_
 
-    enter_lo = jnp.full((len(static.traversal_list), pb), float(tmin))
-    exit_hi = jnp.broadcast_to(t_hi[None, :],
-                               (len(static.traversal_list), pb))
+    enter_lo = jnp.full((len(entries), pb), float(tmin))
+    exit_hi = jnp.broadcast_to(t_hi[None, :], (len(entries), pb))
     for a in range(3):
         lo_l, lo_h = axis_t(box_lo[:, a], a)
         hi_l, hi_h = axis_t(box_hi[:, a], a)
@@ -1000,13 +1031,28 @@ def mega_anyhit_sweep(
 ) -> jnp.ndarray:
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
-    pn, pt, f32_len, i32_len = static.mega_layout
+    # anyhit-specialized chunk set (no normal planes → ~55% more tris per
+    # chunk → fewer entries + fewer table DMAs per shadow sweep); bit-
+    # identical: occlusion is an order-independent OR over triangles
+    if static.mega_shadow_layout is not None:
+        pn, pt, f32_len, i32_len = static.mega_shadow_layout
+        entries = static.shadow_traversal_list
+        tab_f32, tab_i32, tab_oct = (
+            scene.mega_sh_f32, scene.mega_sh_i32, scene.mega_sh_oct
+        )
+        roots = scene.mega_sh_root
+    else:
+        pn, pt, f32_len, i32_len = static.mega_layout
+        entries = static.traversal_list
+        tab_f32, tab_i32, tab_oct = (
+            scene.mega_f32, scene.mega_i32, scene.mega_oct
+        )
+        roots = None
     oct_len = _align(2 * pn)
     num_blocks = p // BLOCK_PACKETS
 
     bits, octs, depth = chunk_block_hits(scene, static, rays, tmax_reg,
-                                         tmin)
-    entries = static.traversal_list
+                                         tmin, roots=roots, entries=entries)
     e_n = len(entries)
     meshof = jnp.asarray([m for _, m in entries], jnp.int32)
     instid = jnp.asarray([i for i, _ in entries], jnp.int32)
@@ -1058,5 +1104,5 @@ def mega_anyhit_sweep(
         input_output_aliases={9: 0},   # occ (after 2 prefetch + 8 ins)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(bits, octs, meshof, w2o,
-      scene.mega_f32, scene.mega_i32, scene.mega_oct, rays, tmax_reg, occ)
+      tab_f32, tab_i32, tab_oct, rays, tmax_reg, occ)
     return out

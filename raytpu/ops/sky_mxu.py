@@ -19,15 +19,19 @@ Design (per 1024-ray packet = one (8,128) vector register per component):
    x0 % 128 == 0) so Mosaic can prove DMA legality; the 256-wide window
    guarantees any ≤128-texel x-span fits after alignment.
 2. **Pallas kernel**: DMA each window from the packed-u32 cube map in HBM
-   into VMEM, then evaluate each lane's filter with two matmul-shaped
-   contractions instead of gathers. With row weights ``A[r,l]`` the MXU
-   product ``M = Tᵀ·A`` combines texel *rows* per lane; column weights
-   ``B[c,l]`` reduce ``M⊙B`` to the filtered texel. One-hot weights give
-   a bit-exact nearest tap; **tent weights give true separable bilinear**
-   in the same matmuls — filtering that costs 4 gathers/lane on the VPU
-   is free on the MXU. Channel values (≤255) and one-hot weights are
-   exact in bf16 (the MXU rounds f32 operands to bf16 — a single f32
-   matmul on the packed word is NOT exact; measured on v5e).
+   into VMEM, then evaluate each lane's filter with a matmul-shaped
+   contraction instead of gathers: with column weights ``B[c,l]`` the MXU
+   product ``M[r,l] = Σ_c T[r,c]·B[c,l]`` contracts the LONG (256-texel)
+   window axis; row weights ``A[r,l]`` then reduce ``Σ_r A⊙M`` over the
+   short (≤64-row) axis on the VPU. Row/column tiles outside the packet's
+   consensus texel span are predicated off entirely (their weights are
+   exactly zero), so weight construction and matmuls cost proportional to
+   the actual span on coherent packets. One-hot weights give a bit-exact
+   nearest tap; **tent weights give true separable bilinear** in the same
+   contraction — filtering that costs 4 gathers/lane on the VPU is free
+   on the MXU. Channel values (≤255) and one-hot weights are exact in
+   bf16 (the MXU rounds f32 operands to bf16 — a single f32 matmul on
+   the packed word is NOT exact; measured on v5e).
 3. **Fallbacks**: divergent packets (secondary-bounce misses) are
    compacted by whole packets — contiguous 4KB-row gathers, not per-lane —
    into a fixed-size buffer and sampled with the per-lane gather path; if
@@ -62,18 +66,25 @@ K_SUB = 8
 K_LANE = 128
 PACKET_K = K_SUB * K_LANE
 
-WIN_H = 128   # window rows; y0 aligned to 8 (sublane tile)
+WIN_H = 64    # window rows; y0 aligned to 8 (sublane tile). Taller spans
+              # (rare: only strongly divergent packets) take the gather
+              # fallback via the ``ok`` flag.
 WIN_W = 256   # window cols; x0 aligned to 128 (lane tile) — any 128-span fits
+ROW_TILE = 32   # VPU row-reduce granule (tile 1 predicated off when unused)
+COL_TILE = 128  # MXU contraction granule (tile 1 predicated off when unused)
 MAX_FACES = 3  # a convex pixel-tile frustum touches ≤3 cube faces (a corner)
 
 _INV255 = 1.0 / 255.0
 
 
 def mxu_supported(h: int, w: int, k: int) -> bool:
-    """Static eligibility: packet width and map dims fit the window scheme."""
+    """Static eligibility: packet width and map dims fit the window scheme.
+
+    The 128-row floor (> WIN_H) keeps tiny maps on the plain gather path,
+    where they are cheap anyway."""
     return (
         k == PACKET_K
-        and h >= WIN_H
+        and h >= 128
         and h % K_SUB == 0
         and w >= WIN_W
         and w % K_LANE == 0
@@ -87,6 +98,7 @@ def _kernel(
     row0d8_ref,    # (3P,) SMEM i32: global window row / 8
     x0d128_ref,    # (3P,) SMEM i32: window col / 128
     y0l_ref,       # (3P,) SMEM i32: face-local window row origin
+    span2_ref,     # (2, 3P) SMEM i32: [0]=needs row tile 1, [1]=col tile 1
     yc_ref,        # (1, 8, 128) VMEM: texel row per lane (i32 / f32 position)
     xc_ref,        # (1, 8, 128) VMEM: texel col per lane
     facel_ref,     # (1, 8, 128) VMEM i32: face per lane
@@ -98,13 +110,24 @@ def _kernel(
     num_packets: int,
     bilinear: bool,
 ):
+    """Windowed filter evaluation, MXU-major.
+
+    ``val[l] = Σ_r Σ_c T[r,c]·a[r,l]·b[c,l]`` is evaluated with the LONG
+    (column, 256) contraction on the MXU — ``M[r,l] = Σ_c T[r,c]·b[c,l]``
+    per 128-column tile — and the short (row, ≤64) reduction on the VPU,
+    so the elementwise stage costs WIN_H not WIN_W ops per lane. Row /
+    column tiles outside the packet's consensus texel span are skipped
+    (their weights are exactly zero: tent support and one-hot taps lie
+    inside [min, max] of the lane taps), which cuts both weight
+    construction and matmul work to span-proportional on coherent packets.
+    """
     pid = pl.program_id(0)
     out_ref[...] = jnp.zeros((3, 1, K_SUB, K_LANE), jnp.float32)
 
     @pl.when(do_ref[pid] != 0)
     def _():
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (WIN_H, 1), 0)
-        iota_c = jax.lax.broadcasted_iota(jnp.int32, (WIN_W, 1), 0)
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, 1), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (COL_TILE, 1), 0)
         for wslot in range(MAX_FACES):
             @pl.when(wslot < nw_ref[pid])
             def _():
@@ -112,6 +135,8 @@ def _kernel(
                 fw = facew_ref[si]
                 y0 = y0l_ref[si]
                 x0 = x0d128_ref[si] * K_LANE  # ×128 proves lane-tile alignment
+                n_rt = 1 + span2_ref[0, si]   # live row tiles (1..2)
+                n_ct = 1 + span2_ref[1, si]   # live col tiles (1..2)
                 cp = pltpu.make_async_copy(
                     # ×8 proves sublane-tile alignment to Mosaic
                     sky_ref.at[pl.ds(row0d8_ref[si] * 8, WIN_H),
@@ -121,45 +146,91 @@ def _kernel(
                 )
                 cp.start()
                 cp.wait()
-                w32 = win_ref[...]
-                chans = [
-                    ((w32 >> sh) & 0xFF)
-                    .astype(jnp.int32)  # no direct u32→bf16 lowering
-                    .astype(jnp.float32)
-                    .astype(jnp.bfloat16)
-                    for sh in (0, 8, 16)
-                ]
+
+                def chan_tile(rt, ct):
+                    w32 = win_ref[rt * ROW_TILE:(rt + 1) * ROW_TILE,
+                                  ct * COL_TILE:(ct + 1) * COL_TILE]
+                    return [
+                        ((w32 >> sh) & 0xFF)
+                        .astype(jnp.int32)  # no direct u32→bf16 lowering
+                        .astype(jnp.float32)
+                        .astype(jnp.bfloat16)
+                        for sh in (0, 8, 16)
+                    ]
+
                 for i in range(K_SUB):
                     if bilinear:
                         # tent weights at the (clamped) sample position ARE
                         # the separable bilinear weights, clamp-to-edge incl.
                         fy = yc_ref[0, i:i + 1, :] - y0.astype(jnp.float32)
                         fx = xc_ref[0, i:i + 1, :] - x0.astype(jnp.float32)
-                        a = jnp.maximum(
-                            1.0 - jnp.abs(fy - iota_r.astype(jnp.float32)),
-                            0.0,
-                        ).astype(jnp.bfloat16)                   # (H, 128)
-                        b = jnp.maximum(
-                            1.0 - jnp.abs(fx - iota_c.astype(jnp.float32)),
-                            0.0,
-                        )                                        # (W, 128)
+
+                        def row_w(rt):                          # (RT, 128) f32
+                            r = (iota_r + rt * ROW_TILE).astype(jnp.float32)
+                            return jnp.maximum(1.0 - jnp.abs(fy - r), 0.0)
+
+                        def col_w(ct):                          # (CT, 128) bf16
+                            c = (iota_c + ct * COL_TILE).astype(jnp.float32)
+                            return jnp.maximum(
+                                1.0 - jnp.abs(fx - c), 0.0
+                            ).astype(jnp.bfloat16)
                     else:
                         yl = yc_ref[0, i:i + 1, :] - y0          # (1, 128)
                         xl = xc_ref[0, i:i + 1, :] - x0
-                        a = (iota_r == yl).astype(jnp.bfloat16)  # (H, 128)
-                        b = (iota_c == xl).astype(jnp.float32)   # (W, 128)
+
+                        def row_w(rt):
+                            return (
+                                iota_r + rt * ROW_TILE == yl
+                            ).astype(jnp.float32)
+
+                        def col_w(ct):
+                            return (
+                                iota_c + ct * COL_TILE == xl
+                            ).astype(jnp.bfloat16)
+
                     sel = facel_ref[0, i:i + 1, :] == fw
                     inv = jnp.float32(_INV255)
-                    for c, t in enumerate(chans):
-                        # M[c,l] = Σ_r T[r,c]·A[r,l]   (weighted row combine)
-                        m = jax.lax.dot_general(
-                            t, a, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )                                        # (W, 128)
-                        val = jnp.sum(m * b, axis=0, keepdims=True)
+                    val = [jnp.zeros((1, K_LANE), jnp.float32)] * 3
+                    for rt in range(WIN_H // ROW_TILE):
+                        def tile_val(val, rt=rt):
+                            a = row_w(rt)
+                            # M[r,l] = Σ_c T[r,c]·b[c,l] per column tile
+                            b0 = col_w(0)
+                            ts = chan_tile(rt, 0)
+                            ms = [
+                                jax.lax.dot_general(
+                                    t, b0, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                )
+                                for t in ts
+                            ]                                    # (RT, 128)
+
+                            def add_ct1(ms):
+                                b1 = col_w(1)
+                                ts1 = chan_tile(rt, 1)
+                                return [
+                                    m + jax.lax.dot_general(
+                                        t, b1, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                    )
+                                    for m, t in zip(ms, ts1)
+                                ]
+
+                            ms = jax.lax.cond(
+                                n_ct > 1, add_ct1, lambda ms: ms, ms
+                            )
+                            return [
+                                v + jnp.sum(a * m, axis=0, keepdims=True)
+                                for v, m in zip(val, ms)
+                            ]
+
+                        val = jax.lax.cond(
+                            rt < n_rt, tile_val, lambda v: v, val
+                        )
+                    for c in range(3):
                         cur = out_ref[c, 0, i:i + 1, :]
                         out_ref[c, 0, i:i + 1, :] = jnp.where(
-                            sel, val * inv, cur
+                            sel, val[c] * inv, cur
                         )
 
 
@@ -176,7 +247,7 @@ def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
     ok = cnt <= MAX_FACES
 
     big = jnp.int32(1 << 30)
-    facew, row0d8, x0d128, y0l = [], [], [], []
+    facew, row0d8, x0d128, y0l, rt1, ct1 = [], [], [], [], [], []
     for s in range(MAX_FACES):
         m = miss & (face == slot_face[s][:, None])
         ymin = jnp.min(jnp.where(m, ylo, big), axis=1)
@@ -192,6 +263,10 @@ def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
         row0d8.append((f_safe * h + y0) // K_SUB)
         x0d128.append(x0 // K_LANE)
         y0l.append(y0)
+        # second row/column tile needed only when the span crosses it
+        # (empty slots: spans are negative → 0)
+        rt1.append((ymax - y0 >= ROW_TILE).astype(jnp.int32))
+        ct1.append((xmax - x0 >= COL_TILE).astype(jnp.int32))
     return (
         ok,
         jnp.minimum(cnt, MAX_FACES),
@@ -199,6 +274,7 @@ def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
         jnp.concatenate(row0d8),
         jnp.concatenate(x0d128),
         jnp.concatenate(y0l),
+        jnp.stack([jnp.concatenate(rt1), jnp.concatenate(ct1)]),
         slot_face[0],
         y0l[0],
         x0d128[0] * K_LANE,
@@ -230,7 +306,7 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
         gather_fn = sample_cubemap_u32_nearest
 
     anym = miss.any(axis=1)
-    (ok, nw, facew, row0d8, x0d128, y0l, f0, y00, x00) = _analyze(
+    (ok, nw, facew, row0d8, x0d128, y0l, span2, f0, y00, x00) = _analyze(
         face, ylo, yhi, xlo, xhi, miss, h, w
     )
     do = (anym & ok).astype(jnp.int32)
@@ -251,7 +327,7 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
     mxu = pl.pallas_call(
         functools.partial(_kernel, num_packets=p, bilinear=bilinear),
         grid=(p,),
-        in_specs=[smem] * 6 + [lane_spec] * 3
+        in_specs=[smem] * 7 + [lane_spec] * 3
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (3, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
@@ -264,7 +340,7 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
         ],
         interpret=jax.default_backend() != "tpu",
     )(
-        do, nw, facew, row0d8, x0d128, y0l,
+        do, nw, facew, row0d8, x0d128, y0l, span2,
         pk(y_k), pk(x_k), pk(face_k),
         skybox_u32.reshape(6 * h, w),
     )

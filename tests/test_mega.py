@@ -73,6 +73,42 @@ def test_mega_tables_attached(two_box_renderer):
     assert r.device_scene.mega_oct.shape == (cmesh * OCTANTS * oct_len,)
 
 
+def test_shadow_tables_attached(two_box_renderer):
+    """Anyhit-specialized chunk set: attached, normal-free layout, full
+    triangle coverage, one entry per (instance, shadow chunk)."""
+    from raytpu.ops.intersect import LEAF_UNROLL
+    from raytpu.ops.mega import MegaLayout
+
+    r = two_box_renderer
+    st = r.static
+    assert st.mega_shadow_layout is not None
+    pn, pt, f32_len, i32_len = st.mega_shadow_layout
+    lay = MegaLayout(pn, pt - LEAF_UNROLL, normals=False)
+    assert lay.f32_len == f32_len          # no normal planes in the layout
+    assert f32_len % 1024 == 0
+    cs = max(m for _, m in st.shadow_traversal_list) + 1
+    assert r.device_scene.mega_sh_f32.shape == (cs * f32_len,)
+    assert r.device_scene.mega_sh_root.shape == (cs, 6)
+    # every instance contributes at least one shadow entry
+    insts = {i for i, _ in st.shadow_traversal_list}
+    assert insts == set(range(st.num_instances))
+
+
+def test_shadow_chunks_cover_all_triangles():
+    """The shadow partition must contain every triangle of a chunked mesh
+    exactly once (occlusion correctness depends on coverage, not order)."""
+    from raytpu.accel.chunking import chunk_order
+
+    rng = np.random.RandomState(11)
+    t = 1000
+    v0 = rng.randn(t, 3).astype(np.float32)
+    e1 = rng.randn(t, 3).astype(np.float32) * 0.1
+    e2 = rng.randn(t, 3).astype(np.float32) * 0.1
+    order, ranges = chunk_order(v0, e1, e2, chunk_tris=128)
+    seen = np.concatenate([order[s : s + c] for s, c in ranges])
+    assert sorted(seen.tolist()) == list(range(t))
+
+
 def _random_bvh_chunk(rng, t):
     """A real (small) threaded BVH over random triangles, as a mega chunk
     dict — octant link computation requires genuine DFS structure."""

@@ -108,6 +108,46 @@ def test_sharded_output_actually_distributed(small_scene):
     assert len(img.sharding.device_set) == 8
 
 
+def test_sharded_config2_class_resolution():
+    """Config2-class sharded render (teapot mirror + skybox, 256×192, 4spp,
+    2-bounce) — realistic tile-row padding / BLOCK_PACKETS interactions
+    (height 192 = 6 tile rows over 8 devices → non-divisible shard heights),
+    asserting bit-identity vs single device (VERDICT r2 item 9)."""
+    res = "/root/reference/resources"
+    import os
+
+    if not os.path.isdir(res):
+        pytest.skip("reference resources not mounted")
+    from raytpu.io.image import load_skybox
+
+    cfg = RenderConfig(
+        objects=(
+            ObjectConfig(f"{res}/teapot.obj", MaterialType.MIRROR, "spin"),
+        ),
+        width=256,
+        height=192,
+        samples_per_pixel=4,
+        max_bounce_count=2,
+        skybox_dir=f"{res}/skybox_texture_sea",
+    )
+    meshes = [load_obj_numpy(o.path) for o in cfg.objects]
+    sky = load_skybox(cfg.skybox_dir)
+    scene = load_scene(cfg, meshes=meshes, skybox=sky)
+    r = Renderer(scene)
+    r.set_transforms(0.5)
+    img_single = np.asarray(
+        render_frame(r.device_scene, r.static, r.render_static,
+                     r.camera.basis())
+    )
+    mesh = make_mesh(8)
+    img_sharded = np.asarray(
+        render_sharded(r.device_scene, r.static, r.render_static,
+                       r.camera.basis(), mesh)
+    )
+    assert img_sharded.shape == (192, 256, 3)
+    np.testing.assert_array_equal(img_sharded, img_single)
+
+
 def test_renderer_devices_config(small_scene):
     """config.devices>1 routes Renderer.render through the sharded path and
     matches the single-device image."""
