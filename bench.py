@@ -22,7 +22,10 @@ NORTH_STAR_MRAYS = 500.0
 
 def main() -> int:
     preset = os.environ.get("RAYTPU_BENCH_PRESET", "config4")
-    frames = int(os.environ.get("RAYTPU_BENCH_FRAMES", "8"))
+    # 24+ pipelined frames: the ~25 ms host->device dispatch fixed cost
+    # over the dev tunnel is amortized 1/frames into every frame time
+    # (8 frames biased every config by +3 ms in rounds 1-2)
+    frames = int(os.environ.get("RAYTPU_BENCH_FRAMES", "24"))
     depth = int(os.environ.get("RAYTPU_HIGHPOLY_DEPTH", "7"))
     matrix = os.environ.get("RAYTPU_BENCH_MATRIX", "1") != "0"
     budget = float(os.environ.get("RAYTPU_BENCH_BUDGET_S", "900"))

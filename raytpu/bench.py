@@ -84,7 +84,7 @@ def count_rays_frame(
 
 
 def profile_stages(
-    renderer: Renderer, rs: RenderStatic, frames: int = 5
+    renderer: Renderer, rs: RenderStatic, frames: int = 25
 ) -> Dict[str, float]:
     """Per-stage device timings (ms) for one frame's hot pieces, each
     measured as its own jitted call bracketed by ``block_until_ready``
@@ -124,7 +124,11 @@ def profile_stages(
 
     def timed(name, fn, *args):
         """Pipelined stage timing (see utils.timing.measure_frame: blocking
-        per call measures tunnel dispatch latency, not device time)."""
+        per call measures tunnel dispatch latency, not device time).
+        The iteration count must stay high: the host→device dispatch fixed
+        cost over the dev tunnel is ~25 ms and is amortized 1/frames into
+        every reported number (round-3 measured a 6.35 ms "prepass" at
+        frames=5 whose true device cost was 1.2 ms)."""
         import time as _t
 
         out = fn(*args)
@@ -281,7 +285,7 @@ def bit_identity_check(
 
 def run_benchmark(
     preset="config4",
-    frames: int = 8,
+    frames: int = 24,
     highpoly_depth: int = 7,
     spp: Optional[int] = None,
     stages: bool = False,

@@ -104,6 +104,15 @@ class RenderConfig:
     sky_sampler: str = "auto"
 
     # --- TPU-specific knobs (no reference analog; tuning surface) ---
+    # divergence scheduling for sparse/divergent waves (shadow + bounce
+    # sweeps; ops/rebin.py): "off"; "split" = static sub-tile regrouping
+    # (reshape/transpose at copy bandwidth — spp sample copies of a
+    # 1/spp-tile walk as one packet, quartering the walk's spatial
+    # footprint at spp=4); "sort" = segmented octant/liveness lane sort —
+    # measured PATHOLOGICAL on v5e (config4 frame 188 ms → 6.2 s; XLA
+    # sorts inside the bounce while_loop), kept only as a measured
+    # experiment (docs/roadmap.md).
+    divergence: str = "off"
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
     leaf_size: int = 4            # max triangles per BVH leaf
     bvh_builder: str = "auto"     # "auto" | "native" | "sah" | "median" | "lbvh"

@@ -77,6 +77,7 @@ class RenderStatic:
     ray_chunk: int = 0     # rays per chunk (grouped whole packets); 0 = all
     skybox_filter: str = "bilinear"  # see RenderConfig.skybox_filter
     sky_sampler: str = "auto"  # "auto" | "gather" | "mxu" (ops/sky_mxu.py)
+    divergence: str = "off"  # see RenderConfig.divergence
     fold_spp: bool = True  # trace all spp waves in one folded sweep
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
                            # 1024 = one native (8,128) VPU register — the
@@ -123,6 +124,7 @@ class RenderStatic:
             ray_chunk=config.ray_chunk,
             skybox_filter=config.skybox_filter,
             sky_sampler=config.sky_sampler,
+            divergence=config.divergence,
             validation=config.validation,
         )
 
@@ -246,11 +248,16 @@ def _trace_sample(
         j, _, _, _, active, _, _ = state
         return (j <= rs.max_bounce_count) & jnp.any(active)  # inclusive :84
 
-    def body(state):
+    # rs.divergence: bounce waves (j>=1) are sparse and direction-
+    # divergent — the divergence scheduler (ops/rebin.py) regroups them
+    # (and every shadow wave) between sweeps. The peeled j=0 wave is
+    # dense and tile-coherent, so it always traces unscheduled. See
+    # RenderConfig.divergence for the measured mode trade-offs.
+    def body(state, sparse=rs.divergence):
         j, o, d, tmp, active, miss_rec, miss_dir = state
         lane_tmax = jnp.where(active, jnp.float32(RAY_TMAX), 0.0)
         hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax,
-                               group=group)
+                               group=group, sparse=sparse)
         hit_mask = active & hit.is_hit
         miss_mask = active & ~hit.is_hit
 
@@ -283,6 +290,7 @@ def _trace_sample(
                 RAY_TMIN,
                 jnp.where(lit_candidate, light_dist, 0.0),
                 group=group,
+                sparse=rs.divergence,
             )
 
         occluded = jax.lax.cond(
@@ -307,8 +315,22 @@ def _trace_sample(
         d = v3.where(cont, v3.where(is_mirror, d_m, d_r), d)
         return j + 1, o, d, tmp, cont, miss_rec, miss_dir
 
+    # With divergence scheduling on, j=0 is peeled out of the loop: the
+    # primary wave traces unscheduled (dense, tile-coherent); the loop
+    # body then regroups every bounce wave. If the whole wave is dead
+    # (sharded padding shards) the peeled sweeps see all-zero windows and
+    # cull everything — results are mask-identical to not running them.
+    # With scheduling off (or structurally inapplicable) the peel would
+    # only duplicate the sweep kernels in the executable, so the loop
+    # runs unpeeled.
+    peel = rs.divergence == "sort" or (
+        rs.divergence == "split" and group in (2, 4)
+    )
+    state0 = (jnp.int32(0), o, d, tmp, active0, miss_rec, miss_dir)
+    if peel:
+        state0 = body(state0, sparse="off")
     _, _, _, tmp, _, miss_rec, miss_dir = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), o, d, tmp, active0, miss_rec, miss_dir)
+        cond, body, state0
     )
     if rs.validation:
         # per-frame in-jit NaN guard on the accumulated radiance + recorded
@@ -405,14 +427,15 @@ def render_pixels(
     camera: jnp.ndarray,
     pix: jnp.ndarray,  # (R, 2)
 ) -> jnp.ndarray:
-    from raytpu.ops.mega import BLOCK_PACKETS
+    from raytpu.ops.mega import BLOCK_PACKETS  # noqa: F401 (granule docs)
+    from raytpu.ops.mega import SEG_PACKETS
 
     r = pix.shape[0]
     k = min(rs.packet_size, r)
     pad = (-r) % k
     px = jnp.pad(pix[:, 0], (0, pad)).reshape(-1, k)
     py = jnp.pad(pix[:, 1], (0, pad)).reshape(-1, k)
-    ppad = (-px.shape[0]) % BLOCK_PACKETS
+    ppad = (-px.shape[0]) % SEG_PACKETS
     if ppad:
         px = jnp.concatenate([px, jnp.zeros((ppad, k), px.dtype)])
         py = jnp.concatenate([py, jnp.zeros((ppad, k), py.dtype)])
@@ -445,14 +468,14 @@ def _tiled_pixels(rs: RenderStatic):
     px = jnp.minimum(xs, rs.width - 1).astype(jnp.float32)
     py = jnp.minimum(ys, rs.height - 1).astype(jnp.float32)
 
-    # pad the packet count to a BLOCK_PACKETS multiple (covers both the
-    # chain kernels' PACK_N and the megakernel's DMA block granule, and
-    # keeps any spp-interleaved fold block-aligned); padding packets are
-    # fully dead
-    from raytpu.ops.mega import BLOCK_PACKETS
+    # pad the packet count to a SEG_PACKETS multiple (covers the chain
+    # kernels' PACK_N, the megakernel's DMA block granule, the re-binner's
+    # sort segments, and keeps any spp-interleaved fold aligned); padding
+    # packets are fully dead, so every sweep culls them for free
+    from raytpu.ops.mega import SEG_PACKETS
 
     p = px.shape[0]
-    pad = (-p) % BLOCK_PACKETS
+    pad = (-p) % SEG_PACKETS
     if pad:
         px = jnp.concatenate([px, jnp.zeros((pad, px.shape[1]), px.dtype)])
         py = jnp.concatenate([py, jnp.zeros((pad, py.shape[1]), py.dtype)])
@@ -486,11 +509,12 @@ def render_frame(
 
     chunk_packets = 0
     if rs.ray_chunk:
-        from raytpu.ops.mega import BLOCK_PACKETS
+        from raytpu.ops.mega import SEG_PACKETS
 
         chunk_packets = max(1, rs.ray_chunk // rs.packet_size)
-        # Pallas kernels require block-aligned packet counts
-        chunk_packets = -(-chunk_packets // BLOCK_PACKETS) * BLOCK_PACKETS
+        # Pallas kernels require block-aligned packet counts (and the
+        # re-binner whole sort segments)
+        chunk_packets = -(-chunk_packets // SEG_PACKETS) * SEG_PACKETS
     if chunk_packets and chunk_packets < p:
         pad = (-p) % chunk_packets
         pad3 = ((0, pad), (0, 0))

@@ -70,6 +70,10 @@ from raytpu.ops.traverse_pallas import (
 # rays = two 32x32 tiles at 4 spp (one tile per group of 4 sample packets).
 BLOCK_PACKETS = 8
 
+# frame pipelines pad packet counts to this granule so the between-sweep
+# lane re-binner (ops/rebin.py) gets whole 8-block sort segments
+SEG_PACKETS = BLOCK_PACKETS * 8
+
 # DMA offsets into 1-D f32/i32 arrays must be 1024-aligned (Mosaic tiles
 # 1-D memrefs at 1024 elements)
 DMA_ALIGN = 1024
@@ -494,67 +498,94 @@ def _mt_tab(tabf, off_tri, pt, o, d, s, tmin, best_t):
     return t, u, v, hit
 
 
-def _walk_closest(tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end,
-                  o, d, tmin, bt0):
-    """Consensus linked walk of one ray GROUP (g, 8, 128) against the
-    SMEM-resident chunk tables, in the block's octant's near-first order
-    (``tabo``: succ | skip). Returns merged best (t, slot, u, v, n)."""
-    d_inv = _inv(d)
-    shape = o[0].shape
+# independent group walks interleaved per loop iteration: a consensus walk
+# is a pointer chase whose critical path is vector slab -> cross-lane any
+# -> scalar link select -> next slab; interleaving W walks COULD overlap
+# one walk's vector work with another's vector->scalar latency. MEASURED
+# (round 3, config4): W=2 regressed the closest sweep 48 -> 66 ms and the
+# frame 188 -> 212 ms — the doubled live state spills, and a finished
+# walk still pays full slab cost for max(lenA, lenB) iterations. Kept at
+# 1 (the multi-walk structure costs nothing at W=1).
+PAIR_W = 1
 
-    def cond(state):
-        return state[0] != end
 
-    def body(state):
-        node, bt, bs, bu, bv, bn = state
-        first = tabi[node]
-        is_leaf = first >= 0
-        box_hit = _slab_tab(tabf, pn, o, d_inv, node, tmin, bt)
-        any_box = jnp.any(box_hit)
+def _walk_closest_multi(tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end,
+                        walks, tmin):
+    """Interleaved consensus linked walks of ``len(walks)`` independent ray
+    GROUPS (g, 8, 128) against the SMEM-resident chunk tables, in the
+    block's octant's near-first order (``tabo``: succ | skip).
 
-        def leaf_case(carry):
-            bt, bs, bu, bv, bn = carry
-            count = tabi[pn + node]
-            for k in range(LEAF_UNROLL):
-                sidx = first + k
-                t, u, v, hit = _mt_tab(tabf, off_tri, pt, o, d, sidx,
-                                       tmin, bt)
-                hit = hit & (k < count)
+    ``walks``: list of (o, d, bt0); returns a list of merged best
+    (t, slot, u, v, n) per walk. A finished (or dead-from-start) walk
+    parks at ``end``; its per-iteration table reads stay in-bounds (the
+    padded tables cover index ``end``) and its merges are gated off."""
+    d_invs = [_inv(d) for (_, d, _) in walks]
 
-                def interp(bn):
-                    w = 1.0 - u - v
-                    return tuple(
-                        jnp.where(
-                            hit,
-                            w * tabf[off_nrm + c * pt + sidx]
-                            + u * tabf[off_nrm + (3 + c) * pt + sidx]
-                            + v * tabf[off_nrm + (6 + c) * pt + sidx],
-                            bn[c],
+    def init_one(o, d, bt0):
+        shape = o[0].shape
+        zeros = jnp.zeros(shape, jnp.float32)
+        node0 = jnp.where(jnp.any(bt0 > tmin), jnp.int32(0), end)
+        return (node0, bt0, jnp.full(shape, -1, jnp.int32), zeros, zeros,
+                (zeros, zeros, zeros))
+
+    init = tuple(init_one(*w) for w in walks)
+
+    def cond(states):
+        alive = states[0][0] != end
+        for s in states[1:]:
+            alive = alive | (s[0] != end)
+        return alive
+
+    def body(states):
+        out = []
+        for w, (o, d, _) in enumerate(walks):
+            node, bt, bs, bu, bv, bn = states[w]
+            alive = node != end
+            first = tabi[node]
+            is_leaf = first >= 0
+            box_hit = _slab_tab(tabf, pn, o, d_invs[w], node, tmin, bt)
+            any_box = jnp.any(box_hit)
+
+            def leaf_case(carry, node=node, first=first, o=o, d=d):
+                bt, bs, bu, bv, bn = carry
+                count = tabi[pn + node]
+                for k in range(LEAF_UNROLL):
+                    sidx = first + k
+                    t, u, v, hit = _mt_tab(tabf, off_tri, pt, o, d, sidx,
+                                           tmin, bt)
+                    hit = hit & (k < count)
+
+                    def interp(bn, hit=hit, u=u, v=v, sidx=sidx):
+                        w_ = 1.0 - u - v
+                        return tuple(
+                            jnp.where(
+                                hit,
+                                w_ * tabf[off_nrm + c * pt + sidx]
+                                + u * tabf[off_nrm + (3 + c) * pt + sidx]
+                                + v * tabf[off_nrm + (6 + c) * pt + sidx],
+                                bn[c],
+                            )
+                            for c in range(3)
                         )
-                        for c in range(3)
-                    )
 
-                bn = jax.lax.cond(jnp.any(hit), interp, lambda b: b, bn)
-                bs = jnp.where(hit, sidx, bs)
-                bu = jnp.where(hit, u, bu)
-                bv = jnp.where(hit, v, bv)
-                bt = jnp.where(hit, t, bt)
-            return bt, bs, bu, bv, bn
+                    bn = jax.lax.cond(jnp.any(hit), interp, lambda b: b, bn)
+                    bs = jnp.where(hit, sidx, bs)
+                    bu = jnp.where(hit, u, bu)
+                    bv = jnp.where(hit, v, bv)
+                    bt = jnp.where(hit, t, bt)
+                return bt, bs, bu, bv, bn
 
-        bt, bs, bu, bv, bn = jax.lax.cond(
-            is_leaf & any_box, leaf_case, lambda c: c, (bt, bs, bu, bv, bn)
-        )
-        nxt = jnp.where(is_leaf | ~any_box, tabo[pn + node], tabo[node])
-        return nxt, bt, bs, bu, bv, bn
+            bt, bs, bu, bv, bn = jax.lax.cond(
+                alive & is_leaf & any_box, leaf_case, lambda c: c,
+                (bt, bs, bu, bv, bn)
+            )
+            nxt = jnp.where(is_leaf | ~any_box, tabo[pn + node], tabo[node])
+            nxt = jnp.where(alive, nxt, end)
+            out.append((nxt, bt, bs, bu, bv, bn))
+        return tuple(out)
 
-    zeros = jnp.zeros(shape, jnp.float32)
-    init = (
-        jnp.int32(0), bt0,
-        jnp.full(shape, -1, jnp.int32),
-        zeros, zeros, (zeros, zeros, zeros),
-    )
-    _, bt, bs, bu, bv, bn = jax.lax.while_loop(cond, body, init)
-    return bt, bs, bu, bv, bn
+    final = jax.lax.while_loop(cond, body, init)
+    return [s[1:] for s in final]
 
 
 def _mega_closest_kernel(
@@ -682,14 +713,14 @@ def _mega_closest_kernel(
         din.wait()
         dst.wait()
 
-        def _walk_merge_group(gs, bt0):
+        def group_inputs(gs):
             ow = [ray_buf[slot, c, gs] for c in range(3)]
             dw = [ray_buf[slot, 3 + c, gs] for c in range(3)]
             o, d = _xform_rays(m, ow, dw)
-            bt, bs, bu, bv, bn = _walk_closest(
-                tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end, o, d,
-                tmin, bt0
-            )
+            return o, d, st_buf[slot, ST_T, gs]
+
+        def merge(gs, res):
+            bt, bs, bu, bv, bn = res
             improved = bs >= 0
             nwx = m[0] * bn[0] + m[4] * bn[1] + m[8] * bn[2]
             nwy = m[1] * bn[0] + m[5] * bn[1] + m[9] * bn[2]
@@ -723,15 +754,21 @@ def _mega_closest_kernel(
             st_buf[slot, ST_V, gs] = jnp.where(
                 improved, bv, st_buf[slot, ST_V, gs])
 
-        for g0 in range(0, bp, group):
-            gs = pl.ds(g0, group)
-            bt0 = st_buf[slot, ST_T, gs]
-
-            # a live BLOCK may still contain dead GROUPS (bounce sweeps
-            # leave scattered live lanes); skip their walk + merge entirely
-            @pl.when(jnp.any(bt0 > tmin))
-            def _(gs=gs, bt0=bt0):
-                _walk_merge_group(gs, bt0)
+        # PAIR_W groups walk per interleaved loop; dead groups (scattered
+        # live lanes in bounce sweeps) park at `end` in one iteration and
+        # skip their merge entirely
+        gslices = [pl.ds(g0, group) for g0 in range(0, bp, group)]
+        for i in range(0, len(gslices), PAIR_W):
+            part = gslices[i : i + PAIR_W]
+            walks = [group_inputs(gs) for gs in part]
+            res = _walk_closest_multi(
+                tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end, walks,
+                tmin,
+            )
+            for gs, wk, r in zip(part, walks, res):
+                @pl.when(jnp.any(wk[2] > tmin))
+                def _(gs=gs, r=r):
+                    merge(gs, r)
 
         pltpu.make_async_copy(
             st_buf.at[slot], st_out.at[:, pl.ds(b * bp, bp)],
@@ -864,39 +901,61 @@ def mega_closest_sweep(
 # any-hit (occlusion) megakernel
 # ---------------------------------------------------------------------------
 
-def _walk_anyhit(tabf, tabi, tabo, pn, pt, off_tri, end, o, d, tmin, tmax,
-                 occ0):
-    d_inv = _inv(d)
-    live0 = tmax > tmin
+def _walk_anyhit_multi(tabf, tabi, tabo, pn, pt, off_tri, end, walks,
+                       tmin):
+    """Interleaved occlusion walks (see :func:`_walk_closest_multi`).
 
-    def cond(state):
-        return state[0] != end
+    ``walks``: list of (o, d, tmax, occ0); returns occluded per walk.
+    Each walk early-exits (parks at ``end``) as soon as every live lane
+    is occluded."""
+    d_invs = [_inv(d) for (_, d, _, _) in walks]
+    live0s = [tmax > tmin for (_, _, tmax, _) in walks]
 
-    def body(state):
-        node, occluded = state
-        first = tabi[node]
-        is_leaf = first >= 0
-        pending_t = jnp.where(live0 & (occluded == 0), tmax, 0.0)
-        box_hit = _slab_tab(tabf, pn, o, d_inv, node, tmin, pending_t)
-        any_box = jnp.any(box_hit)
+    def init_one(i):
+        _, _, _, occ0 = walks[i]
+        pending = live0s[i] & (occ0 == 0)
+        node0 = jnp.where(jnp.any(pending), jnp.int32(0), end)
+        return (node0, occ0)
 
-        def leaf_case(occ):
-            count = tabi[pn + node]
-            for k in range(LEAF_UNROLL):
-                _, _, _, hit = _mt_tab(tabf, off_tri, pt, o, d, first + k,
-                                       tmin, pending_t)
-                occ = occ | (hit & (k < count)).astype(jnp.int32)
-            return occ
+    init = tuple(init_one(i) for i in range(len(walks)))
 
-        occluded = jax.lax.cond(is_leaf & any_box, leaf_case,
-                                lambda c: c, occluded)
-        done = ~jnp.any(live0 & (occluded == 0))
-        nxt = jnp.where(is_leaf | ~any_box, tabo[pn + node], tabo[node])
-        nxt = jnp.where(done, end, nxt)
-        return nxt, occluded
+    def cond(states):
+        alive = states[0][0] != end
+        for s in states[1:]:
+            alive = alive | (s[0] != end)
+        return alive
 
-    _, occluded = jax.lax.while_loop(cond, body, (jnp.int32(0), occ0))
-    return occluded
+    def body(states):
+        out = []
+        for w, (o, d, tmax, _) in enumerate(walks):
+            node, occluded = states[w]
+            alive = node != end
+            first = tabi[node]
+            is_leaf = first >= 0
+            pending_t = jnp.where(live0s[w] & (occluded == 0), tmax, 0.0)
+            box_hit = _slab_tab(tabf, pn, o, d_invs[w], node, tmin,
+                                pending_t)
+            any_box = jnp.any(box_hit)
+
+            def leaf_case(occ, node=node, first=first, o=o, d=d,
+                          pending_t=pending_t):
+                count = tabi[pn + node]
+                for k in range(LEAF_UNROLL):
+                    _, _, _, hit = _mt_tab(tabf, off_tri, pt, o, d,
+                                           first + k, tmin, pending_t)
+                    occ = occ | (hit & (k < count)).astype(jnp.int32)
+                return occ
+
+            occluded = jax.lax.cond(alive & is_leaf & any_box, leaf_case,
+                                    lambda c: c, occluded)
+            done = ~jnp.any(live0s[w] & (occluded == 0))
+            nxt = jnp.where(is_leaf | ~any_box, tabo[pn + node], tabo[node])
+            nxt = jnp.where(done | ~alive, end, nxt)
+            out.append((nxt, occluded))
+        return tuple(out)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return [occ for (_, occ) in final]
 
 
 def _mega_anyhit_kernel(
@@ -985,20 +1044,23 @@ def _mega_anyhit_kernel(
         d0.start(); d1.start(); d2.start()
         d0.wait(); d1.wait(); d2.wait()
 
-        for g0 in range(0, bp, group):
-            gs = pl.ds(g0, group)
-            tmax = tmax_buf[slot, gs]
-            occ0 = occ_buf[slot, gs]
+        def group_inputs(gs):
+            ow = [ray_buf[slot, c, gs] for c in range(3)]
+            dw = [ray_buf[slot, 3 + c, gs] for c in range(3)]
+            o, d = _xform_rays(m, ow, dw)
+            return o, d, tmax_buf[slot, gs], occ_buf[slot, gs]
 
-            @pl.when(jnp.any((tmax > tmin) & (occ0 == 0)))
-            def _(gs=gs, tmax=tmax, occ0=occ0):
-                ow = [ray_buf[slot, c, gs] for c in range(3)]
-                dw = [ray_buf[slot, 3 + c, gs] for c in range(3)]
-                o, d = _xform_rays(m, ow, dw)
-                occ_buf[slot, gs] = _walk_anyhit(
-                    tabf, tabi, tabo, pn, pt, off_tri, end, o, d, tmin,
-                    tmax, occ0
-                )
+        gslices = [pl.ds(g0, group) for g0 in range(0, bp, group)]
+        for i in range(0, len(gslices), PAIR_W):
+            part = gslices[i : i + PAIR_W]
+            walks = [group_inputs(gs) for gs in part]
+            res = _walk_anyhit_multi(
+                tabf, tabi, tabo, pn, pt, off_tri, end, walks, tmin
+            )
+            for gs, wk, occ in zip(part, walks, res):
+                @pl.when(jnp.any((wk[2] > tmin) & (wk[3] == 0)))
+                def _(gs=gs, occ=occ):
+                    occ_buf[slot, gs] = occ
 
         pltpu.make_async_copy(
             occ_buf.at[slot], occ_out.at[pl.ds(b * bp, bp)],

@@ -99,30 +99,32 @@ def _kernel(
     x0d128_ref,    # (3P,) SMEM i32: window col / 128
     y0l_ref,       # (3P,) SMEM i32: face-local window row origin
     span2_ref,     # (2, 3P) SMEM i32: [0]=needs row tile 1, [1]=col tile 1
-    yc_ref,        # (1, 8, 128) VMEM: texel row per lane (i32 / f32 position)
-    xc_ref,        # (1, 8, 128) VMEM: texel col per lane
-    facel_ref,     # (1, 8, 128) VMEM i32: face per lane
+    yc_ref,        # (1, 1, 1024) VMEM: texel row per lane (i32 / f32 pos)
+    xc_ref,        # (1, 1, 1024) VMEM: texel col per lane
+    facel_ref,     # (1, 1, 1024) VMEM i32: face per lane
     sky_ref,       # (6h, w) HBM u32: packed RGB8 cube map
-    out_ref,       # (3, 1, 8, 128) VMEM f32: RGB out
+    out_ref,       # (3, 1, 1, 1024) VMEM f32: RGB out
     win_ref,       # (WIN_H, WIN_W) VMEM u32 scratch
     sem,           # DMA semaphore
     *,
     num_packets: int,
     bilinear: bool,
 ):
-    """Windowed filter evaluation, MXU-major.
+    """Windowed filter evaluation, MXU-major, lane-major.
 
-    ``val[l] = Σ_r Σ_c T[r,c]·a[r,l]·b[c,l]`` is evaluated with the LONG
-    (column, 256) contraction on the MXU — ``M[r,l] = Σ_c T[r,c]·b[c,l]``
-    per 128-column tile — and the short (row, ≤64) reduction on the VPU,
-    so the elementwise stage costs WIN_H not WIN_W ops per lane. Row /
+    ``val[l] = Σ_r Σ_c T[r,c]·a[r,l]·b[c,l]`` with ALL 1024 lanes of the
+    packet along the lane axis: the LONG (column) contraction runs on the
+    MXU — ``M[r,l] = Σ_c T[r,c]·b[c,l]`` per 128-column tile, (RT,CT)
+    @ (CT,1024) — and the short (≤64-row) reduction on the VPU. Weights
+    are built ONCE per packet window (no per-sublane loop), and row /
     column tiles outside the packet's consensus texel span are skipped
-    (their weights are exactly zero: tent support and one-hot taps lie
-    inside [min, max] of the lane taps), which cuts both weight
-    construction and matmul work to span-proportional on coherent packets.
+    entirely (their weights are exactly zero: tent support and one-hot
+    taps lie inside [min, max] of the lane taps), so both weight
+    construction and matmul work are span-proportional on coherent
+    packets.
     """
     pid = pl.program_id(0)
-    out_ref[...] = jnp.zeros((3, 1, K_SUB, K_LANE), jnp.float32)
+    out_ref[...] = jnp.zeros((3, 1, 1, PACKET_K), jnp.float32)
 
     @pl.when(do_ref[pid] != 0)
     def _():
@@ -147,7 +149,7 @@ def _kernel(
                 cp.start()
                 cp.wait()
 
-                def chan_tile(rt, ct):
+                def chan_tile(rt, ct):       # 3 × (RT, CT) bf16
                     w32 = win_ref[rt * ROW_TILE:(rt + 1) * ROW_TILE,
                                   ct * COL_TILE:(ct + 1) * COL_TILE]
                     return [
@@ -158,80 +160,79 @@ def _kernel(
                         for sh in (0, 8, 16)
                     ]
 
-                for i in range(K_SUB):
-                    if bilinear:
-                        # tent weights at the (clamped) sample position ARE
-                        # the separable bilinear weights, clamp-to-edge incl.
-                        fy = yc_ref[0, i:i + 1, :] - y0.astype(jnp.float32)
-                        fx = xc_ref[0, i:i + 1, :] - x0.astype(jnp.float32)
+                if bilinear:
+                    # tent weights at the (clamped) sample position ARE
+                    # the separable bilinear weights, clamp-to-edge incl.
+                    fy = yc_ref[0, 0:1, :] - y0.astype(jnp.float32)
+                    fx = xc_ref[0, 0:1, :] - x0.astype(jnp.float32)
 
-                        def row_w(rt):                          # (RT, 128) f32
-                            r = (iota_r + rt * ROW_TILE).astype(jnp.float32)
-                            return jnp.maximum(1.0 - jnp.abs(fy - r), 0.0)
+                    def row_w(rt):                    # (RT, 1024) f32
+                        r = (iota_r + rt * ROW_TILE).astype(jnp.float32)
+                        return jnp.maximum(1.0 - jnp.abs(fy - r), 0.0)
 
-                        def col_w(ct):                          # (CT, 128) bf16
-                            c = (iota_c + ct * COL_TILE).astype(jnp.float32)
-                            return jnp.maximum(
-                                1.0 - jnp.abs(fx - c), 0.0
-                            ).astype(jnp.bfloat16)
-                    else:
-                        yl = yc_ref[0, i:i + 1, :] - y0          # (1, 128)
-                        xl = xc_ref[0, i:i + 1, :] - x0
+                    def col_w(ct):                    # (CT, 1024) bf16
+                        c = (iota_c + ct * COL_TILE).astype(jnp.float32)
+                        return jnp.maximum(
+                            1.0 - jnp.abs(fx - c), 0.0
+                        ).astype(jnp.bfloat16)
+                else:
+                    yl = yc_ref[0, 0:1, :] - y0       # (1, 1024) i32
+                    xl = xc_ref[0, 0:1, :] - x0
 
-                        def row_w(rt):
-                            return (
-                                iota_r + rt * ROW_TILE == yl
-                            ).astype(jnp.float32)
+                    def row_w(rt):
+                        return (
+                            iota_r + rt * ROW_TILE == yl
+                        ).astype(jnp.float32)
 
-                        def col_w(ct):
-                            return (
-                                iota_c + ct * COL_TILE == xl
-                            ).astype(jnp.bfloat16)
+                    def col_w(ct):
+                        return (
+                            iota_c + ct * COL_TILE == xl
+                        ).astype(jnp.bfloat16)
 
-                    sel = facel_ref[0, i:i + 1, :] == fw
-                    inv = jnp.float32(_INV255)
-                    val = [jnp.zeros((1, K_LANE), jnp.float32)] * 3
-                    for rt in range(WIN_H // ROW_TILE):
-                        def tile_val(val, rt=rt):
-                            a = row_w(rt)
-                            # M[r,l] = Σ_c T[r,c]·b[c,l] per column tile
-                            b0 = col_w(0)
-                            ts = chan_tile(rt, 0)
-                            ms = [
-                                jax.lax.dot_general(
-                                    t, b0, (((1,), (0,)), ((), ())),
+                sel = facel_ref[0, 0:1, :] == fw
+                inv = jnp.float32(_INV255)
+                val = [jnp.zeros((1, PACKET_K), jnp.float32)] * 3
+                b0 = col_w(0)
+                for rt in range(WIN_H // ROW_TILE):
+                    def tile_val(val, rt=rt):
+                        a = row_w(rt)
+                        # M[r,l] = Σ_c T[r,c]·b[c,l] per column tile
+                        ts = chan_tile(rt, 0)
+                        ms = [
+                            jax.lax.dot_general(
+                                t, b0, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            for t in ts
+                        ]                            # (RT, 1024)
+
+                        def add_ct1(ms):
+                            b1 = col_w(1)
+                            ts1 = chan_tile(rt, 1)
+                            return [
+                                m + jax.lax.dot_general(
+                                    t, b1, (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.float32,
                                 )
-                                for t in ts
-                            ]                                    # (RT, 128)
-
-                            def add_ct1(ms):
-                                b1 = col_w(1)
-                                ts1 = chan_tile(rt, 1)
-                                return [
-                                    m + jax.lax.dot_general(
-                                        t, b1, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32,
-                                    )
-                                    for m, t in zip(ms, ts1)
-                                ]
-
-                            ms = jax.lax.cond(
-                                n_ct > 1, add_ct1, lambda ms: ms, ms
-                            )
-                            return [
-                                v + jnp.sum(a * m, axis=0, keepdims=True)
-                                for v, m in zip(val, ms)
+                                for m, t in zip(ms, ts1)
                             ]
 
-                        val = jax.lax.cond(
-                            rt < n_rt, tile_val, lambda v: v, val
+                        ms = jax.lax.cond(
+                            n_ct > 1, add_ct1, lambda ms: ms, ms
                         )
-                    for c in range(3):
-                        cur = out_ref[c, 0, i:i + 1, :]
-                        out_ref[c, 0, i:i + 1, :] = jnp.where(
-                            sel, val[c] * inv, cur
-                        )
+                        return [
+                            v + jnp.sum(a * m, axis=0, keepdims=True)
+                            for v, m in zip(val, ms)
+                        ]
+
+                    val = jax.lax.cond(
+                        rt < n_rt, tile_val, lambda v: v, val
+                    )
+                for c in range(3):
+                    cur = out_ref[c, 0, 0:1, :]
+                    out_ref[c, 0, 0:1, :] = jnp.where(
+                        sel, val[c] * inv, cur
+                    )
 
 
 def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
@@ -318,10 +319,12 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
     x_k = jnp.where(miss, lane_x, x00[:, None].astype(lane_x.dtype))
 
     def pk(a):
-        return a.reshape(p, K_SUB, K_LANE)
+        # lane-major: all 1024 packet lanes along the lane axis, so the
+        # kernel builds weights once per packet (no per-sublane loop)
+        return a.reshape(p, 1, PACKET_K)
 
     lane_spec = pl.BlockSpec(
-        (1, K_SUB, K_LANE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, PACKET_K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     mxu = pl.pallas_call(
@@ -330,10 +333,10 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
         in_specs=[smem] * 7 + [lane_spec] * 3
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (3, 1, K_SUB, K_LANE), lambda i: (0, i, 0, 0),
+            (3, 1, 1, PACKET_K), lambda i: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((3, p, K_SUB, K_LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, p, 1, PACKET_K), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((WIN_H, WIN_W), jnp.uint32),
             pltpu.SemaphoreType.DMA,

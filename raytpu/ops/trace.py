@@ -132,6 +132,8 @@ def closest_hit_wave(
     tmin: float,
     tmax: jnp.ndarray,  # (P, K) or scalar
     group: int = 1,     # spp-grouped consensus width (megakernel path)
+    sparse: str = "off",  # divergence scheduling before the sweep
+                          # (ops/rebin.py "split"/"sort"), mega path only
 ) -> HitWave:
     """Packet-layout closest hit over all instances (the TPU hot path;
     per-packet consensus traversal, see ``ops/packet.py`` /
@@ -154,9 +156,35 @@ def closest_hit_wave(
         )
 
         tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+        seg = 0
+        split = 0
+        g = group
+        if sparse == "sort":
+            from raytpu.ops import rebin as rb
+
+            sigma, rank, seg = rb.rebin_perm(
+                rb.octant_key(d, tmax_pk > tmin)
+            )
+            if seg:
+                o = rb.permute_vec3(o, sigma)
+                d = rb.permute_vec3(d, sigma)
+                tmax_pk = rb.permute(tmax_pk, sigma)
+        elif sparse == "split" and group in (2, 4):
+            from raytpu.ops import rebin as rb
+
+            if rb.can_split(p, k, group):
+                o = rb.tile_split_vec3(o, group)
+                d = rb.tile_split_vec3(d, group)
+                tmax_pk = rb.tile_split(tmax_pk, group)
+                split = group
+                g = 1  # a packet now holds all samples of one sub-tile
         rays = pack_rays(o, d)
         state = make_trace_state(tmax_pk)
-        state = mega_closest_sweep(scene, static, rays, tmin, state, group)
+        state = mega_closest_sweep(scene, static, rays, tmin, state, g)
+        if seg:
+            state = rb.permute_planes(state, rank)
+        if split:
+            state = rb.tile_split_planes(state, split, merge=True)
         t, valid, mat, inst, n, u, v = unpack_state(state, p, k)
         return HitWave(
             t=jnp.where(valid, t, BIG_T),
@@ -288,6 +316,9 @@ def any_hit_wave(
     tmin: float,
     tmax: jnp.ndarray,  # (P, K)
     group: int = 1,
+    sparse: str = "off",  # divergence scheduling (ops/rebin.py): shadow
+                          # waves are sparse — "split" walks sub-tile
+                          # packets, "sort" packs live lanes
 ) -> jnp.ndarray:
     """Packet-layout occlusion query over all instances (component-SoA)."""
     from raytpu.ops import vec3 as v3
@@ -299,12 +330,39 @@ def any_hit_wave(
         from raytpu.ops.traverse_pallas import pack_rays
 
         tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+        seg = 0
+        split = 0
+        g = group
+        if sparse == "sort":
+            from raytpu.ops import rebin as rb
+
+            sigma, rank, seg = rb.rebin_perm(
+                rb.octant_key(d, tmax_pk > tmin)
+            )
+            if seg:
+                o = rb.permute_vec3(o, sigma)
+                d = rb.permute_vec3(d, sigma)
+                tmax_pk = rb.permute(tmax_pk, sigma)
+        elif sparse == "split" and group in (2, 4):
+            from raytpu.ops import rebin as rb
+
+            if rb.can_split(p, k, group):
+                o = rb.tile_split_vec3(o, group)
+                d = rb.tile_split_vec3(d, group)
+                tmax_pk = rb.tile_split(tmax_pk, group)
+                split = group
+                g = 1
         rays = pack_rays(o, d)
         tmax_reg = tmax_pk.reshape(p, 8, 128)
         occ = jnp.zeros((p, 8, 128), jnp.int32)
         occ = mega_anyhit_sweep(scene, static, rays, tmin, tmax_reg, occ,
-                                group)
-        return occ.reshape(p, k) != 0
+                                g)
+        occ = occ.reshape(p, k)
+        if seg:
+            occ = rb.permute(occ, rank)
+        if split:
+            occ = rb.tile_merge(occ, split)
+        return occ != 0
 
     if _all_pallas(static, k):
         from raytpu.ops.traverse_pallas import (
