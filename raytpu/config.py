@@ -105,13 +105,17 @@ class RenderConfig:
 
     # --- TPU-specific knobs (no reference analog; tuning surface) ---
     # divergence scheduling for sparse/divergent waves (shadow + bounce
-    # sweeps; ops/rebin.py): "off"; "split" = static sub-tile regrouping
-    # (reshape/transpose at copy bandwidth — spp sample copies of a
-    # 1/spp-tile walk as one packet, quartering the walk's spatial
-    # footprint at spp=4); "sort" = segmented octant/liveness lane sort —
-    # measured PATHOLOGICAL on v5e (config4 frame 188 ms → 6.2 s; XLA
-    # sorts inside the bounce while_loop), kept only as a measured
-    # experiment (docs/roadmap.md).
+    # sweeps; ops/rebin.py). Both alternatives to "off" were implemented,
+    # measured on v5e, and REJECTED for the reference workloads — kept as
+    # recorded experiments (docs/roadmap.md):
+    #   "split" / "split_all": static sub-tile regrouping (reshape/
+    #     transpose; spp sample copies of a 1/spp tile as one packet,
+    #     quartering each walk's footprint at spp=4) — bit-identical but
+    #     config4 185→320 ms, config2 28→38 ms: 4× walk count (root
+    #     parks, per-group overhead) beats the narrower cones.
+    #   "sort": segmented octant/liveness lane sort — pathological
+    #     (config4 frame 185 ms → 6.2 s; XLA sorts inside the bounce
+    #     while_loop).
     divergence: str = "off"
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
     leaf_size: int = 4            # max triangles per BVH leaf

@@ -323,6 +323,7 @@ def _trace_sample(
     # With scheduling off (or structurally inapplicable) the peel would
     # only duplicate the sweep kernels in the executable, so the loop
     # runs unpeeled.
+    # ("split_all" schedules the primary sweep too, so it never peels)
     peel = rs.divergence == "sort" or (
         rs.divergence == "split" and group in (2, 4)
     )

@@ -73,6 +73,8 @@ WIN_W = 256   # window cols; x0 aligned to 128 (lane tile) — any 128-span fits
 ROW_TILE = 32   # VPU row-reduce granule (tile 1 predicated off when unused)
 COL_TILE = 128  # MXU contraction granule (tile 1 predicated off when unused)
 MAX_FACES = 3  # a convex pixel-tile frustum touches ≤3 cube faces (a corner)
+SKY_SUPER = 4  # packets per grid step (amortizes the per-step floor over
+               # skipped no-miss packets)
 
 _INV255 = 1.0 / 255.0
 
@@ -99,11 +101,11 @@ def _kernel(
     x0d128_ref,    # (3P,) SMEM i32: window col / 128
     y0l_ref,       # (3P,) SMEM i32: face-local window row origin
     span2_ref,     # (2, 3P) SMEM i32: [0]=needs row tile 1, [1]=col tile 1
-    yc_ref,        # (1, 1, 1024) VMEM: texel row per lane (i32 / f32 pos)
-    xc_ref,        # (1, 1, 1024) VMEM: texel col per lane
-    facel_ref,     # (1, 1, 1024) VMEM i32: face per lane
+    yc_ref,        # (SKY_SUPER, 1, 1024) VMEM: texel row per lane
+    xc_ref,        # (SKY_SUPER, 1, 1024) VMEM: texel col per lane
+    facel_ref,     # (SKY_SUPER, 1, 1024) VMEM i32: face per lane
     sky_ref,       # (6h, w) HBM u32: packed RGB8 cube map
-    out_ref,       # (3, 1, 1, 1024) VMEM f32: RGB out
+    out_ref,       # (3, SKY_SUPER, 1, 1024) VMEM f32: RGB out
     win_ref,       # (WIN_H, WIN_W) VMEM u32 scratch
     sem,           # DMA semaphore
     *,
@@ -123,10 +125,27 @@ def _kernel(
     construction and matmul work are span-proportional on coherent
     packets.
     """
-    pid = pl.program_id(0)
-    out_ref[...] = jnp.zeros((3, 1, 1, PACKET_K), jnp.float32)
+    out_ref[...] = jnp.zeros((3, SKY_SUPER, 1, PACKET_K), jnp.float32)
+    for sub in range(SKY_SUPER):
+        _kernel_one(
+            sub, do_ref, nw_ref, facew_ref, row0d8_ref, x0d128_ref,
+            y0l_ref, span2_ref, yc_ref, xc_ref, facel_ref, sky_ref,
+            out_ref, win_ref, sem,
+            num_packets=num_packets, bilinear=bilinear,
+        )
 
-    @pl.when(do_ref[pid] != 0)
+
+def _kernel_one(
+    sub, do_ref, nw_ref, facew_ref, row0d8_ref, x0d128_ref, y0l_ref,
+    span2_ref, yc_ref, xc_ref, facel_ref, sky_ref, out_ref, win_ref, sem,
+    *, num_packets: int, bilinear: bool,
+):
+    """Evaluate one of the grid step's SKY_SUPER packets (see _kernel)."""
+    raw = pl.program_id(0) * SKY_SUPER + sub
+    # clamp for safe SMEM reads in the (masked-off) tail grid step
+    pid = jnp.minimum(raw, num_packets - 1)
+
+    @pl.when((raw < num_packets) & (do_ref[pid] != 0))
     def _():
         iota_r = jax.lax.broadcasted_iota(jnp.int32, (ROW_TILE, 1), 0)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (COL_TILE, 1), 0)
@@ -163,8 +182,8 @@ def _kernel(
                 if bilinear:
                     # tent weights at the (clamped) sample position ARE
                     # the separable bilinear weights, clamp-to-edge incl.
-                    fy = yc_ref[0, 0:1, :] - y0.astype(jnp.float32)
-                    fx = xc_ref[0, 0:1, :] - x0.astype(jnp.float32)
+                    fy = yc_ref[sub, 0:1, :] - y0.astype(jnp.float32)
+                    fx = xc_ref[sub, 0:1, :] - x0.astype(jnp.float32)
 
                     def row_w(rt):                    # (RT, 1024) f32
                         r = (iota_r + rt * ROW_TILE).astype(jnp.float32)
@@ -176,8 +195,8 @@ def _kernel(
                             1.0 - jnp.abs(fx - c), 0.0
                         ).astype(jnp.bfloat16)
                 else:
-                    yl = yc_ref[0, 0:1, :] - y0       # (1, 1024) i32
-                    xl = xc_ref[0, 0:1, :] - x0
+                    yl = yc_ref[sub, 0:1, :] - y0     # (1, 1024) i32
+                    xl = xc_ref[sub, 0:1, :] - x0
 
                     def row_w(rt):
                         return (
@@ -189,7 +208,7 @@ def _kernel(
                             iota_c + ct * COL_TILE == xl
                         ).astype(jnp.bfloat16)
 
-                sel = facel_ref[0, 0:1, :] == fw
+                sel = facel_ref[sub, 0:1, :] == fw
                 inv = jnp.float32(_INV255)
                 val = [jnp.zeros((1, PACKET_K), jnp.float32)] * 3
                 b0 = col_w(0)
@@ -229,8 +248,8 @@ def _kernel(
                         rt < n_rt, tile_val, lambda v: v, val
                     )
                 for c in range(3):
-                    cur = out_ref[c, 0, 0:1, :]
-                    out_ref[c, 0, 0:1, :] = jnp.where(
+                    cur = out_ref[c, sub, 0:1, :]
+                    out_ref[c, sub, 0:1, :] = jnp.where(
                         sel, val[c] * inv, cur
                     )
 
@@ -324,16 +343,17 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
         return a.reshape(p, 1, PACKET_K)
 
     lane_spec = pl.BlockSpec(
-        (1, 1, PACKET_K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (SKY_SUPER, 1, PACKET_K), lambda i: (i, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     mxu = pl.pallas_call(
         functools.partial(_kernel, num_packets=p, bilinear=bilinear),
-        grid=(p,),
+        grid=(-(-p // SKY_SUPER),),
         in_specs=[smem] * 7 + [lane_spec] * 3
         + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (3, 1, 1, PACKET_K), lambda i: (0, i, 0, 0),
+            (3, SKY_SUPER, 1, PACKET_K), lambda i: (0, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((3, p, 1, PACKET_K), jnp.float32),

@@ -169,7 +169,7 @@ def closest_hit_wave(
                 o = rb.permute_vec3(o, sigma)
                 d = rb.permute_vec3(d, sigma)
                 tmax_pk = rb.permute(tmax_pk, sigma)
-        elif sparse == "split" and group in (2, 4):
+        elif sparse in ("split", "split_all") and group in (2, 4):
             from raytpu.ops import rebin as rb
 
             if rb.can_split(p, k, group):
@@ -343,7 +343,7 @@ def any_hit_wave(
                 o = rb.permute_vec3(o, sigma)
                 d = rb.permute_vec3(d, sigma)
                 tmax_pk = rb.permute(tmax_pk, sigma)
-        elif sparse == "split" and group in (2, 4):
+        elif sparse in ("split", "split_all") and group in (2, 4):
             from raytpu.ops import rebin as rb
 
             if rb.can_split(p, k, group):
