@@ -55,8 +55,10 @@ def main() -> int:
         # the full BASELINE matrix including the reference 63-bounce default
         # preset runs BEFORE any budget-gated diagnostics, so the driver
         # record always captures every config (VERDICT r2 item 6)
+        # the reference 63-bounce default runs FIRST so a tight budget can
+        # never drop the preset that defines the reference workload
         others = [p for p in
-                  ("config1", "config2", "config3", "config5", "reference")
+                  ("reference", "config1", "config2", "config3", "config5")
                   if p != preset]
         left = budget - (_time.perf_counter() - t0)
         out["configs"] = run_matrix(

@@ -93,7 +93,17 @@ def generate_highpoly(depth: int = 7, radius: float = 1.0,
     return mesh
 
 
+_STANDIN_CACHE = {}
+
+
 def armadillo_standin(scale: float = 1.0, depth: int = 7) -> Mesh:
     """The config-4 stand-in, scaled to roughly unit size like the
-    reference meshes (cube extent ±1, teapot ~±3)."""
-    return generate_highpoly(depth=depth, radius=scale)
+    reference meshes (cube extent ±1, teapot ~±3).
+
+    Cached per (scale, depth): the 327k-triangle generation costs tens of
+    seconds and several presets (config4, reference) share the mesh in one
+    benchmark process."""
+    key = (float(scale), int(depth))
+    if key not in _STANDIN_CACHE:
+        _STANDIN_CACHE[key] = generate_highpoly(depth=depth, radius=scale)
+    return _STANDIN_CACHE[key]

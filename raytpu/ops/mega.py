@@ -498,15 +498,20 @@ def _mt_tab(tabf, off_tri, pt, o, d, s, tmin, best_t):
     return t, u, v, hit
 
 
-# independent group walks interleaved per loop iteration: a consensus walk
-# is a pointer chase whose critical path is vector slab -> cross-lane any
-# -> scalar link select -> next slab; interleaving W walks COULD overlap
-# one walk's vector work with another's vector->scalar latency. MEASURED
-# (round 3, config4): W=2 regressed the closest sweep 48 -> 66 ms and the
-# frame 188 -> 212 ms — the doubled live state spills, and a finished
-# walk still pays full slab cost for max(lenA, lenB) iterations. Kept at
-# 1 (the multi-walk structure costs nothing at W=1).
-PAIR_W = 1
+# packets-in-flight per interleaved walk loop. The lockstep width is
+# LOCKSTEP_PACKETS // group: narrow groups walk several slices in ONE
+# while loop (same register/ALU footprint as one group-wide walk — W
+# walks of (g,8,128) state vs one of (W·g,8,128)) while each slice keeps
+# ITS OWN pointer, so a slice stops paying slab cost the moment its own
+# node set is exhausted instead of following the union. MEASURED: pairing
+# two FULL group=4 walks (8 packets in flight) regressed the closest
+# sweep 48 -> 66 ms (spilled state + max-length waste) — the ceiling
+# below keeps the in-flight state at today's group-walk size.
+LOCKSTEP_PACKETS = 4
+
+
+def _lockstep_w(group: int) -> int:
+    return max(1, LOCKSTEP_PACKETS // group)
 
 
 def _walk_closest_multi(tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end,
@@ -754,12 +759,13 @@ def _mega_closest_kernel(
             st_buf[slot, ST_V, gs] = jnp.where(
                 improved, bv, st_buf[slot, ST_V, gs])
 
-        # PAIR_W groups walk per interleaved loop; dead groups (scattered
-        # live lanes in bounce sweeps) park at `end` in one iteration and
-        # skip their merge entirely
+        # lockstep-W groups walk per interleaved loop; dead groups
+        # (scattered live lanes in bounce sweeps) park at `end` in one
+        # iteration and skip their merge entirely
+        w = _lockstep_w(group)
         gslices = [pl.ds(g0, group) for g0 in range(0, bp, group)]
-        for i in range(0, len(gslices), PAIR_W):
-            part = gslices[i : i + PAIR_W]
+        for i in range(0, len(gslices), w):
+            part = gslices[i : i + w]
             walks = [group_inputs(gs) for gs in part]
             res = _walk_closest_multi(
                 tabf, tabi, tabo, pn, pt, off_tri, off_nrm, end, walks,
@@ -1050,9 +1056,10 @@ def _mega_anyhit_kernel(
             o, d = _xform_rays(m, ow, dw)
             return o, d, tmax_buf[slot, gs], occ_buf[slot, gs]
 
+        w = _lockstep_w(group)
         gslices = [pl.ds(g0, group) for g0 in range(0, bp, group)]
-        for i in range(0, len(gslices), PAIR_W):
-            part = gslices[i : i + PAIR_W]
+        for i in range(0, len(gslices), w):
+            part = gslices[i : i + w]
             walks = [group_inputs(gs) for gs in part]
             res = _walk_anyhit_multi(
                 tabf, tabi, tabo, pn, pt, off_tri, end, walks, tmin

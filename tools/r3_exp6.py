@@ -25,7 +25,14 @@ def main() -> int:
 
     print("backend:", jax.devices()[0].platform, flush=True)
 
-    from raytpu.bench import profile_stages
+    from raytpu.bench import bit_identity_check, profile_stages
+
+    t0 = time.perf_counter()
+    bi = bit_identity_check()
+    print(json.dumps({"bit_identity": bi,
+                      "t": round(time.perf_counter() - t0, 1)}), flush=True)
+    if not bi.get("ok", False):
+        return 1
     from raytpu.config import HIT_EPSILON, RAY_TMAX, RAY_TMIN
     from raytpu.integrator import _tiled_pixels, primary_rays_soa, render_frame
     from raytpu.ops import shade
@@ -56,7 +63,7 @@ def main() -> int:
     lane_tmax = jnp.where(in_frame, jnp.float32(RAY_TMAX), 0.0)
 
     def popcount(bits):
-        b = np.asarray(bits)
+        b = np.ascontiguousarray(np.asarray(bits))
         return int(np.unpackbits(b.view(np.uint8)).sum())
 
     # j=0 closest wave
