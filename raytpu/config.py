@@ -117,6 +117,14 @@ class RenderConfig:
     #     (config4 frame 185 ms → 6.2 s; XLA sorts inside the bounce
     #     while_loop).
     divergence: str = "off"
+    # bounce-loop scheduling: "full" runs every loop iteration at frame
+    # width; "compact" sorts packets live-first after the (peeled) primary
+    # bounce and runs later iterations over ~P/4-packet waves — packet
+    # moves are contiguous row copies (measured ~bandwidth speed), the
+    # elementwise shading/bookkeeping and sweeps shrink 4×, and waves
+    # iterate when more packets survive than the budget. Bit-identical
+    # (per-lane results are permutation-invariant).
+    wavefront: str = "full"
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
     leaf_size: int = 4            # max triangles per BVH leaf
     bvh_builder: str = "auto"     # "auto" | "native" | "sah" | "median" | "lbvh"

@@ -78,6 +78,7 @@ class RenderStatic:
     skybox_filter: str = "bilinear"  # see RenderConfig.skybox_filter
     sky_sampler: str = "auto"  # "auto" | "gather" | "mxu" (ops/sky_mxu.py)
     divergence: str = "off"  # see RenderConfig.divergence
+    wavefront: str = "full"  # see RenderConfig.wavefront
     fold_spp: bool = True  # trace all spp waves in one folded sweep
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
                            # 1024 = one native (8,128) VPU register — the
@@ -125,8 +126,20 @@ class RenderStatic:
             skybox_filter=config.skybox_filter,
             sky_sampler=config.sky_sampler,
             divergence=config.divergence,
+            wavefront=config.wavefront,
             validation=config.validation,
         )
+
+
+def _wave_budget(p: int) -> int:
+    """Compacted-wave row budget for ``wavefront="compact"``: ~P/4 packets
+    rounded up to the SEG_PACKETS granule the kernels require. 0 disables
+    compaction (wave too small for the budget to be a real subset)."""
+    from raytpu.ops.mega import SEG_PACKETS
+
+    b = -(-(p // 4) // SEG_PACKETS) * SEG_PACKETS
+    b = max(b, SEG_PACKETS)
+    return b if b * 2 <= p else 0
 
 
 def hash_random(pix: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
@@ -233,7 +246,10 @@ def _trace_sample(
     p, k = o[0].shape
     amb = shade.ambient_tuple()
     tmp = tuple(jnp.full((p, k), c, jnp.float32) for c in amb)  # :81
-    decay = SAMPLE_DECAY ** sample_idx.astype(jnp.float32)  # 0.9^i quirk :128
+    # 0.9^i quirk (:128); broadcast per-lane so compacted waves can slice it
+    decay = jnp.broadcast_to(
+        SAMPLE_DECAY ** sample_idx.astype(jnp.float32), (p, k)
+    )
     sky_h, sky_w = static.sky_hw
     zero = jnp.zeros((p, k), jnp.float32)
     # DEFERRED skybox: each lane misses at most once, so record the miss
@@ -248,13 +264,13 @@ def _trace_sample(
         j, _, _, _, active, _, _ = state
         return (j <= rs.max_bounce_count) & jnp.any(active)  # inclusive :84
 
-    # rs.divergence: bounce waves (j>=1) are sparse and direction-
-    # divergent — the divergence scheduler (ops/rebin.py) regroups them
-    # (and every shadow wave) between sweeps. The peeled j=0 wave is
-    # dense and tile-coherent, so it always traces unscheduled. See
-    # RenderConfig.divergence for the measured mode trade-offs.
-    def body(state, sparse=rs.divergence):
-        j, o, d, tmp, active, miss_rec, miss_dir = state
+    def bounce_core(o, d, tmp, active, miss_rec, miss_dir, decay_, sparse):
+        """One bounce iteration's work at the width of its inputs: closest
+        trace, miss recording, shadow + Blinn-Phong, mirror/refract
+        continuations. Per-lane results depend only on that lane's state,
+        so the core runs identically over the full wave or over a
+        compacted sub-wave (``rs.wavefront == "compact"``)."""
+        pw, kw = o[0].shape
         lane_tmax = jnp.where(active, jnp.float32(RAY_TMAX), 0.0)
         hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax,
                                group=group, sparse=sparse)
@@ -296,15 +312,16 @@ def _trace_sample(
         occluded = jax.lax.cond(
             jnp.any(lit_candidate),
             do_shadow,
-            lambda _: jnp.zeros((p, k), bool),
+            lambda _: jnp.zeros((pw, kw), bool),
             operand=None,
         )
         phong = shade.blinn_phong_soa(n, l, v3.neg(d), scene.light_intensity)
         shade_mask = lit_candidate & ~occluded
-        zero = jnp.zeros((p, k), jnp.float32)
+        zero_ = jnp.zeros((pw, kw), jnp.float32)
         tmp = v3.add(
             tmp,
-            v3.where(shade_mask, v3.scale(decay, phong), (zero, zero, zero)),
+            v3.where(shade_mask, v3.scale(decay_, phong),
+                     (zero_, zero_, zero_)),
         )
 
         # --- mirror / refract continuations (:132-177) ---
@@ -313,25 +330,104 @@ def _trace_sample(
         cont = is_mirror | is_refract
         o = v3.where(cont, v3.where(is_mirror, o_m, o_r), o)
         d = v3.where(cont, v3.where(is_mirror, d_m, d_r), d)
+        return o, d, tmp, cont, miss_rec, miss_dir
+
+    def body(state, sparse=rs.divergence):
+        j, o, d, tmp, active, miss_rec, miss_dir = state
+        o, d, tmp, cont, miss_rec, miss_dir = bounce_core(
+            o, d, tmp, active, miss_rec, miss_dir, decay, sparse
+        )
         return j + 1, o, d, tmp, cont, miss_rec, miss_dir
 
-    # With divergence scheduling on, j=0 is peeled out of the loop: the
-    # primary wave traces unscheduled (dense, tile-coherent); the loop
-    # body then regroups every bounce wave. If the whole wave is dead
-    # (sharded padding shards) the peeled sweeps see all-zero windows and
-    # cull everything — results are mask-identical to not running them.
-    # With scheduling off (or structurally inapplicable) the peel would
-    # only duplicate the sweep kernels in the executable, so the loop
-    # runs unpeeled.
-    # ("split_all" schedules the primary sweep too, so it never peels)
-    peel = rs.divergence == "sort" or (
+    budget = _wave_budget(p) if rs.wavefront == "compact" else 0
+
+    def body_compact(state):
+        """Bounce iteration over a live-first compacted wave (SURVEY.md §2
+        "divergent-bounce scheduling", at PACKET granularity where moves
+        are contiguous row copies): after j=0 most packets are dead, so
+        the per-bounce elementwise shading/bookkeeping and the sweeps run
+        on a P/4-packet budget instead of the full wave. Packets sort
+        live-first (stable (P,)-sized argsort — trivial next to the
+        5 ms/sort LANE-granular version rejected in ops/rebin.py), waves
+        of `budget` rows process through `bounce_core` via contiguous
+        dynamic slices, and the inverse permutation restores frame order.
+        Per-lane results are permutation-invariant, so this is
+        bit-identical to the full-width body (overlapping tail waves
+        recompute identical values)."""
+        j, o, d, tmp, active, miss_rec, miss_dir = state
+        packet_live = jnp.any(active, axis=1)
+        order = jnp.argsort(~packet_live, stable=True)      # live first
+        inv = jnp.argsort(order, stable=True)
+
+        def g(x):
+            return jnp.take(x, order, axis=0)
+
+        planes = (
+            g(o[0]), g(o[1]), g(o[2]), g(d[0]), g(d[1]), g(d[2]),
+            g(tmp[0]), g(tmp[1]), g(tmp[2]), g(active),
+            g(miss_rec), g(miss_dir[0]), g(miss_dir[1]), g(miss_dir[2]),
+        )
+        decay_p = g(decay)
+        n_live = jnp.sum(packet_live, dtype=jnp.int32)
+        n_waves = (n_live + budget - 1) // budget
+
+        def wave(c, planes):
+            start = jnp.minimum(c * budget, p - budget)
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, start, budget, 0)
+
+            (ox, oy, oz, dx, dy, dz, t0, t1, t2, act, mr,
+             mdx_, mdy_, mdz_) = planes
+            ow, dw, tw, cw, mrw, mdw = bounce_core(
+                (sl(ox), sl(oy), sl(oz)), (sl(dx), sl(dy), sl(dz)),
+                (sl(t0), sl(t1), sl(t2)), sl(act), sl(mr),
+                (sl(mdx_), sl(mdy_), sl(mdz_)), sl(decay_p), rs.divergence
+            )
+            upd = jax.lax.dynamic_update_slice_in_dim
+            return (
+                upd(ox, ow[0], start, 0), upd(oy, ow[1], start, 0),
+                upd(oz, ow[2], start, 0), upd(dx, dw[0], start, 0),
+                upd(dy, dw[1], start, 0), upd(dz, dw[2], start, 0),
+                upd(t0, tw[0], start, 0), upd(t1, tw[1], start, 0),
+                upd(t2, tw[2], start, 0), upd(act, cw, start, 0),
+                upd(mr, mrw, start, 0), upd(mdx_, mdw[0], start, 0),
+                upd(mdy_, mdw[1], start, 0), upd(mdz_, mdw[2], start, 0),
+            )
+
+        planes = jax.lax.while_loop(
+            lambda cp: cp[0] < n_waves,
+            lambda cp: (cp[0] + 1, wave(cp[0], cp[1])),
+            (jnp.int32(0), planes),
+        )[1]
+
+        def u(x):
+            return jnp.take(x, inv, axis=0)
+
+        (ox, oy, oz, dx, dy, dz, t0, t1, t2, act, mr, mdx_, mdy_,
+         mdz_) = planes
+        return (
+            j + 1, (u(ox), u(oy), u(oz)), (u(dx), u(dy), u(dz)),
+            (u(t0), u(t1), u(t2)), u(act), u(mr),
+            (u(mdx_), u(mdy_), u(mdz_)),
+        )
+
+    # j=0 is peeled out of the loop when the loop body differs from the
+    # dense primary iteration (compact wavefront, or divergence scheduling
+    # that must not touch the tile-coherent primary sweep). If the whole
+    # wave is dead (sharded padding shards) the peeled sweeps see all-zero
+    # windows and cull everything — results are mask-identical to not
+    # running them. Otherwise the peel would only duplicate the sweep
+    # kernels in the executable, so the loop runs unpeeled.
+    # ("split_all" schedules the primary sweep too, so it never peels.)
+    peel = bool(budget) or rs.divergence == "sort" or (
         rs.divergence == "split" and group in (2, 4)
     )
     state0 = (jnp.int32(0), o, d, tmp, active0, miss_rec, miss_dir)
     if peel:
         state0 = body(state0, sparse="off")
     _, _, _, tmp, _, miss_rec, miss_dir = jax.lax.while_loop(
-        cond, body, state0
+        cond, body_compact if budget else body, state0
     )
     if rs.validation:
         # per-frame in-jit NaN guard on the accumulated radiance + recorded

@@ -247,3 +247,37 @@ def test_three_instance_scene_matches_oracle(resources_dir):
     ref = oracle.render(osc, _camera_tuple(renderer), 32, 32, 1, 3)
     s = ssim(img, np.asarray(ref, np.float32), win=8)
     assert s > 0.98, f"3-instance SSIM {s:.4f}"
+
+
+def test_compact_wavefront_bit_identical(resources_dir):
+    """wavefront="compact" (live-first packet waves through the bounce
+    loop) must be BIT-IDENTICAL to the full-width loop: per-lane results
+    are permutation-invariant and tail waves recompute identical values.
+    The frame is sized so the wave budget is a real subset (128 packets →
+    budget 64)."""
+    from raytpu.integrator import _wave_budget
+
+    assert _wave_budget(128) == 64
+    assert _wave_budget(64) == 0      # too small → compaction disabled
+    sky = _gradient_skybox()
+    cfg = RenderConfig(
+        objects=(
+            ObjectConfig(f"{resources_dir}/cube.obj",
+                         MaterialType.MIRROR, "spin"),
+            ObjectConfig(f"{resources_dir}/cube.obj",
+                         MaterialType.DIFFUSE, "orbit"),
+        ),
+        width=512, height=256, samples_per_pixel=1, max_bounce_count=3,
+    )
+    meshes = [load_obj_numpy(o.path) for o in cfg.objects]
+    scene = load_scene(cfg, meshes=meshes, skybox=sky)
+    r = Renderer(scene)
+    r.set_transforms(0.3)
+    imgs = {}
+    for mode in ("full", "compact"):
+        rs = dataclasses.replace(r.render_static, wavefront=mode)
+        imgs[mode] = np.asarray(
+            render_frame(r.device_scene, r.static, rs,
+                         jnp.asarray(r.camera.basis()))
+        )
+    np.testing.assert_array_equal(imgs["compact"], imgs["full"])
