@@ -69,7 +69,8 @@ def _build_config(args) -> RenderConfig:
             cfg = cfg.replace(skybox_dir=args.skybox)
     overrides = {}
     for field in ("width", "height", "samples_per_pixel", "max_bounce_count",
-                  "ray_chunk", "devices"):
+                  "ray_chunk", "devices", "traversal", "divergence",
+                  "wavefront"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -93,6 +94,14 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--samples-per-pixel", type=int, dest="samples_per_pixel")
     p.add_argument("--max-bounce-count", type=int, dest="max_bounce_count")
     p.add_argument("--ray-chunk", type=int, dest="ray_chunk")
+    p.add_argument("--traversal",
+                   choices=("auto", "mega", "xla", "pallas", "brute"),
+                   help="traversal backend (default auto)")
+    p.add_argument("--divergence", choices=("off", "split", "split_all",
+                                            "sort"),
+                   help="divergence scheduling mode (see RenderConfig)")
+    p.add_argument("--wavefront", choices=("full", "compact"),
+                   help="bounce-loop scheduling (see RenderConfig)")
     p.add_argument("--light", type=float, nargs=3, metavar=("X", "Y", "Z"))
     p.add_argument("--devices", type=int,
                    help="shard pixel tiles across N devices")
