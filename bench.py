@@ -33,6 +33,10 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import time as _time
 
+    from raytpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from raytpu.bench import bit_identity_check, run_benchmark, run_matrix
 
     if "--selftest" in sys.argv[1:]:

@@ -221,6 +221,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.set_defaults(fn=cmd_interactive)
 
     args = parser.parse_args(argv)
+    from raytpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     return args.fn(args)
 
 
