@@ -225,6 +225,51 @@ def main() -> int:
         interpret=interpret,
     )
 
+    # ---- MXU v2: LB leaves per dot, output rows grouped by TYPE so the
+    # epilogue runs on fully-utilized (4·LB, LANES) slabs ----
+    LB = 8          # leaves per dot → K2 (16·LB, 16), outs (16·LB, LANES)
+    NT = TRIS_PER_LEAF * LB
+
+    def mxu2_kernel(x_ref, k_ref, out_ref):
+        acc = jnp.zeros((1, LANES), jnp.float32)
+        xm = x_ref[...]
+
+        def block(bi, acc):
+            kk = k_ref[bi]                     # (4*NT rows typed, 16)
+            outs = jax.lax.dot_general(
+                kk, xm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                   # (4*NT, LANES)
+            det = outs[0:NT]
+            un = outs[NT:2 * NT]
+            vn = outs[2 * NT:3 * NT]
+            tn = outs[3 * NT:4 * NT]
+            inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+            u = un * inv_det
+            v = vn * inv_det
+            t = tn * inv_det
+            hit = ((jnp.abs(det) > 1e-9) & (u >= 0.0) & (v >= 0.0)
+                   & (u + v <= 1.0) & (t > 1e-3) & (t < 1e4))
+            return acc + jnp.sum(jnp.where(hit, t, 0.0), axis=0,
+                                 keepdims=True)
+
+        acc = jax.lax.fori_loop(0, LEAVES // LB, block, acc)
+        out_ref[...] = acc
+
+    mxu2 = pl.pallas_call(
+        mxu2_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
+        interpret=interpret,
+    )
+    # K2: per LB-leaf block, rows [det×NT, u×NT, v×NT, t×NT]
+    kraw = kmat.reshape(LEAVES * TRIS_PER_LEAF, OUTS, 16)
+    k2 = (kraw.reshape(LEAVES // LB, NT, OUTS, 16)
+          .transpose(0, 2, 1, 3)
+          .reshape(LEAVES // LB, OUTS * NT, 16))
+
     o_r = jnp.asarray(o.reshape(3, 4, 8, 128))
     d_r = jnp.asarray(d.reshape(3, 4, 8, 128))
     tab = jnp.asarray(tabf)
@@ -233,6 +278,8 @@ def main() -> int:
 
     fv = jax.jit(lambda a, b, c: vpu(a, b, c))
     fm = jax.jit(lambda a, b: mxu(a, b))
+    fm2 = jax.jit(lambda a, b: mxu2(a, b))
+    k2j = jnp.asarray(k2)
 
     def timeit(f, *args, iters=30):
         out = f(*args)
@@ -245,12 +292,17 @@ def main() -> int:
 
     out_v = np.asarray(fv(o_r, d_r, tab)).reshape(-1)
     out_m = np.asarray(fm(xj, kj)).reshape(-1)
+    out_m2 = np.asarray(fm2(xj, k2j)).reshape(-1)
     tv = timeit(fv, o_r, d_r, tab)
     tm = timeit(fm, xj, kj)
+    tm2 = timeit(fm2, xj, k2j)
     res = {
         "vpu_ns_per_leaf": round(tv / LEAVES * 1e9, 1),
         "mxu_ns_per_leaf": round(tm / LEAVES * 1e9, 1),
+        "mxu_typed_ns_per_leaf": round(tm2 / LEAVES * 1e9, 1),
         "speedup": round(tv / tm, 2),
+        "speedup_typed": round(tv / tm2, 2),
+        "mxu_vs_mxu2_acc_max_abs": float(np.abs(out_m - out_m2).max()),
     }
     print(json.dumps({"throughput": res}), flush=True)
 
