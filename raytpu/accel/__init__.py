@@ -238,6 +238,37 @@ def attach_bvh(
                 for chunk in mesh_sh_chunks[mesh_id]
             )
 
+    # two-level per-lane traversal tables (ops/perlane.py) — built from
+    # the SAME chunk partitions as the mega tables (they share the oct
+    # ordering + prepass roots). TPU-only (the kernel needs compiled DMA
+    # + gather semantics), and the banks are a few hundred MB of HBM, so
+    # only pack when the tier can actually run.
+    perlane_layout = None
+    perlane_shadow_layout = None
+    if mega_layout is not None and _perlane_wanted(cfg):
+        from raytpu.ops.perlane import pack_perlane_tables
+
+        tabs, perlane_layout = pack_perlane_tables(mega_chunks,
+                                                   normals=True)
+        dev = dev._replace(
+            pl_box=jnp.asarray(tabs["box"]),
+            pl_tid=jnp.asarray(tabs["tid"]),
+            pl_planes=jnp.asarray(tabs["planes"]),
+            pl_links=jnp.asarray(tabs["links"]),
+            pl_mt=jnp.asarray(tabs["mt"]),
+        )
+        if mega_shadow_layout is not None:
+            sh_tabs, perlane_shadow_layout = pack_perlane_tables(
+                sh_chunks, normals=False
+            )
+            dev = dev._replace(
+                pl_sh_box=jnp.asarray(sh_tabs["box"]),
+                pl_sh_tid=jnp.asarray(sh_tabs["tid"]),
+                pl_sh_planes=jnp.asarray(sh_tabs["planes"]),
+                pl_sh_links=jnp.asarray(sh_tabs["links"]),
+                pl_sh_mt=jnp.asarray(sh_tabs["mt"]),
+            )
+
     # replace() keeps every field not owned by the BVH stage (e.g. sky_hw)
     static_out = dataclasses.replace(
         static,
@@ -249,5 +280,19 @@ def attach_bvh(
         mega_layout=mega_layout,
         mega_shadow_layout=mega_shadow_layout,
         shadow_traversal_list=shadow_trav,
+        perlane_layout=perlane_layout,
+        perlane_shadow_layout=perlane_shadow_layout,
     )
     return dev, static_out
+
+
+def _perlane_wanted(cfg) -> bool:
+    """Pack the per-lane tables only where the TPU-only tier can run (or
+    is explicitly forced) — they cost HBM and build time."""
+    if cfg.traversal == "perlane":
+        return True
+    if cfg.traversal != "auto":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"

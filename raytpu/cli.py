@@ -95,7 +95,8 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-bounce-count", type=int, dest="max_bounce_count")
     p.add_argument("--ray-chunk", type=int, dest="ray_chunk")
     p.add_argument("--traversal",
-                   choices=("auto", "mega", "xla", "pallas", "brute"),
+                   choices=("auto", "perlane", "mega", "xla", "pallas",
+                            "brute"),
                    help="traversal backend (default auto)")
     p.add_argument("--divergence", choices=("off", "split", "split_all",
                                             "sort"),

@@ -128,7 +128,8 @@ class RenderConfig:
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
     leaf_size: int = 4            # max triangles per BVH leaf
     bvh_builder: str = "auto"     # "auto" | "native" | "sah" | "median" | "lbvh"
-    traversal: str = "auto"  # "auto" | "mega" | "xla" | "pallas" | "brute"
+    # "auto" | "perlane" | "mega" | "xla" | "pallas" | "brute"
+    traversal: str = "auto"
     dtype: str = "float32"
     devices: int = 1              # pixel-tile sharding degree (parallel/dist.py)
 

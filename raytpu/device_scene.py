@@ -99,6 +99,21 @@ class DeviceScene(NamedTuple):
     mega_sh_oct: Optional[jnp.ndarray] = None   # (Cs * 8 * Os,) int32
     mega_sh_root: Optional[jnp.ndarray] = None  # (Cs, 6) float32
 
+    # two-level per-lane traversal tables (ops/perlane.py): SMEM top-tree
+    # box planes + treelet-site map, and per-treelet VMEM gather banks
+    # (planes/links replicated, node-indexed MT rows compact); the oct
+    # ordering tables are shared with the mega path (same chunk sets)
+    pl_box: Optional[jnp.ndarray] = None     # (C, box_len) f32
+    pl_tid: Optional[jnp.ndarray] = None     # (C, tid_len) i32
+    pl_planes: Optional[jnp.ndarray] = None  # (C, T, 6, 8, 128) f32
+    pl_links: Optional[jnp.ndarray] = None   # (C*8, T, 3, 8, 128) i32
+    pl_mt: Optional[jnp.ndarray] = None      # (C, T, rows, 128) f32
+    pl_sh_box: Optional[jnp.ndarray] = None
+    pl_sh_tid: Optional[jnp.ndarray] = None
+    pl_sh_planes: Optional[jnp.ndarray] = None
+    pl_sh_links: Optional[jnp.ndarray] = None
+    pl_sh_mt: Optional[jnp.ndarray] = None
+
     def with_transforms(
         self, o2w: np.ndarray, w2o: np.ndarray
     ) -> "DeviceScene":
@@ -139,6 +154,10 @@ class SceneStatic:
     # chunk set)
     mega_shadow_layout: Optional[Tuple[int, int, int, int]] = None
     shadow_traversal_list: Tuple[Tuple[int, int], ...] = ()
+    # per-lane tier layouts (pad_nodes, t_pad, box_len, tid_len, rows_mt);
+    # None when the perlane tables are not attached
+    perlane_layout: Optional[Tuple[int, int, int, int, int]] = None
+    perlane_shadow_layout: Optional[Tuple[int, int, int, int, int]] = None
 
     @property
     def traversal_list(self) -> Tuple[Tuple[int, int], ...]:

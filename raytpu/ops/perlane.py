@@ -1,0 +1,1158 @@
+"""Two-level per-lane traversal tier: consensus top tree + treelet walks.
+
+The persistent megakernel's consensus walk (``ops/mega.py``) shares ONE
+node pointer across a 4096-lane group, so it visits the UNION of the
+lanes' per-ray BVH paths — measured at ~5.6x the per-ray ideal and the
+source of its ~160-190 Mrays/s ceiling (docs/roadmap.md item 13). This
+module replaces the walk below a cut line with PER-LANE traversal:
+
+* each chunk's BVH is partitioned into **treelets** of <=127 nodes
+  (:func:`treelet_partition`); node/link/triangle tables of the resident
+  chunk's treelets live in VMEM as 128-entry *banks* that
+  ``jnp.take_along_axis`` (Mosaic → ``tpu.dynamic_gather``) can index
+  per lane in one op (measured exact + ~300 ns/iteration at 4x(8,128)
+  interleaved lanes, ``tools/r4_mech_probe.py``);
+* the **top tree** (nodes above the cut, ~1-2% of iterations) is walked
+  consensus-style against the SMEM box planes exactly as before; a
+  treelet root is a *site*: when any lane's box test passes, every lane
+  walks the treelet with ITS OWN pointer — iterations cost
+  max-per-lane path length instead of the union (measured 2.1-2.4x
+  shorter on the real config4 j0 sweeps, ``tools/r4_perlane_sim.py``);
+* leaf intersections are **deferred**: a lane reaching a leaf pushes the
+  node id onto a 4-deep register queue and walks on; queues drain
+  through node-indexed Moller-Trumbore tables (4 tri slots per leaf
+  node id — one gather per operand) when any lane's queue fills and at
+  treelet exit. Deferral is bit-exact: a test the eager walk would have
+  performed with a tighter ``best_t`` can only reject candidates that
+  lose anyway (strict ``t < best_t`` ordering over the same per-lane
+  DFS test sequence).
+
+Semantics match the chained reference kernels (``ops/traverse_pallas.py``)
+with the same caveats as ``ops/mega.py`` (tie order on coincident
+geometry) plus one of its own: a lane only tests triangles of leaves its
+OWN box path reaches, while consensus walks test every lane against every
+union-visited leaf — for a triangle exactly on a node boundary the two
+can disagree within float rounding of slab-vs-MT arithmetic. No preset
+geometry does; the TPU bit-identity gate (``raytpu.bench``) enforces it.
+
+Replaces per-thread ``traceRayEXT`` scheduling (``src/shader.rgen:84-87``)
+one level deeper than the megakernel: the per-lane pointer IS the
+per-thread traversal stack the RT hardware gives each GPU thread.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytpu.ops.intersect import LEAF_UNROLL
+from raytpu.ops.mega import (
+    BLOCK_PACKETS,
+    OCTANTS,
+    _align,
+    _inv,
+    _read_w2o,
+    _scan_bitmask,
+    _slab_tab,
+    _xform_rays,
+    chunk_block_hits,
+    octant_links,
+)
+from raytpu.ops.traverse_pallas import (
+    K_LANE,
+    K_SUB,
+    ST_INST,
+    ST_MAT,
+    ST_NX,
+    ST_NY,
+    ST_NZ,
+    ST_T,
+    ST_U,
+    ST_V,
+    ST_VALID,
+)
+
+# treelet size cap: local node ids fit one 128-entry gather bank with
+# id 127 reserved as the walk-done sentinel (links at 127 self-loop)
+NODE_CAP = 127
+DONE = 127
+
+# deferred-leaf register queue depth per lane
+QD = 4
+
+# packets per per-lane walk: 4 slices of (8,128) interleave the dependent
+# gather chain (measured: 4 slices cost the same per iteration as 1)
+W_PK = 4
+
+# compact MT-table rows: 4 slots x 9 tri coords (+ 4 x 9 normal coords for
+# the closest set), padded to a sublane multiple
+ROWS_TRI = 4 * 9
+ROWS_CLOSEST = 80   # 36 tri + 36 nrm + pad
+ROWS_ANYHIT = 40    # 36 tri + pad
+OFF_NRM_ROW = ROWS_TRI
+
+
+def treelet_partition(
+    first: np.ndarray, count: np.ndarray, miss: np.ndarray,
+    node_cap: int = NODE_CAP,
+) -> Tuple[np.ndarray, int]:
+    """Greedy DFS cut of one flat skip-link BVH into <=node_cap subtrees.
+
+    Build-order skip links mean the subtree of node ``i`` spans
+    ``[i, miss[i])`` in the DFS layout. Returns ``(tid, n_treelets)``:
+    ``tid[i]`` = treelet id, or ``n_treelets`` for top-tree nodes. Octant
+    rethreading (:func:`raytpu.ops.mega.octant_links`) permutes only
+    WITHIN subtrees, so the partition is octant-independent.
+    """
+    n = first.shape[0]
+    span = miss - np.arange(n)
+    tid = np.full(n, -1, np.int64)
+    nt = 0
+    i = 0
+    while i < n:
+        if span[i] <= node_cap:
+            tid[i : miss[i]] = nt
+            nt += 1
+            i = miss[i]
+        else:
+            i += 1            # too big: top node, descend
+    top = tid < 0
+    tid[top] = nt
+    # every leaf fits a treelet by itself, so the top tree has no leaves
+    assert not (top & (first >= 0)).any(), "leaf in top tree"
+    return tid, nt
+
+
+def pack_perlane_tables(
+    chunks, normals: bool = True
+) -> Tuple[Dict[str, np.ndarray], Tuple[int, int, int, int, int]]:
+    """Pack per-chunk two-level tables for the per-lane sweeps.
+
+    ``chunks``: the same per-chunk dicts ``ops/mega.py`` packs (aabb_min/
+    aabb_max (n,3), first/count/miss (n,), v0/e1/e2 (t,3), n_soa (9,t)).
+
+    Returns ``(arrays, layout)`` with ``layout = (pad_nodes, t_pad,
+    box_len, tid_len, rows_mt)`` and arrays:
+
+    * ``box``  (C, box_len) f32 — SMEM box planes (6 x pad_nodes), the
+      top walk's slab tables (same layout as the mega f32 table's box
+      prefix, minus the tri/normal planes it never reads);
+    * ``tid``  (C, tid_len) i32 — per-node site map: treelet id at each
+      treelet ROOT, -1 elsewhere; last slot = node count (walk end);
+    * ``planes`` (C, t_pad, 6, 8, 128) f32 — per-treelet gather banks of
+      box planes by local node id (row-replicated across sublanes);
+    * ``links`` (C*8, t_pad, 3, 8, 128) i32 — per (chunk, octant):
+      sublane rows succ/skip (localized, ``DONE`` on exit) + tri count;
+    * ``mt``   (C, t_pad, rows_mt, 128) f32 — compact node-indexed
+      Moller-Trumbore rows: slot k, coord c at row ``k*9+c`` (v0/e1/e2
+      xyz), then normal rows at ``OFF_NRM_ROW + k*9 + c`` (closest set).
+    """
+    pad_nodes = max(c["aabb_min"].shape[0] for c in chunks)
+    box_len = _align(6 * pad_nodes)
+    tid_len = _align(pad_nodes + 1)
+    rows_mt = ROWS_CLOSEST if normals else ROWS_ANYHIT
+
+    parts = []
+    t_pad = 1
+    for c in chunks:
+        tid, nt = treelet_partition(c["first"], c["count"], c["miss"])
+        parts.append((tid, nt))
+        t_pad = max(t_pad, nt)
+
+    cN = len(chunks)
+    box = np.zeros((cN, box_len), np.float32)
+    tidm = np.full((cN, tid_len), -1, np.int32)
+    planes = np.zeros((cN, t_pad, 6, 8, 128), np.float32)
+    links = np.full((cN, OCTANTS, t_pad, 3, 8, 128), DONE, np.int32)
+    links[:, :, :, 2] = 0                      # counts default 0
+    mt = np.zeros((cN, t_pad, rows_mt, 128), np.float32)
+
+    for ci, c in enumerate(chunks):
+        n = c["aabb_min"].shape[0]
+        tid, nt = parts[ci]
+        ids = np.arange(n)
+        # treelet roots: first node of each DFS-contiguous treelet span
+        root = np.zeros(nt, np.int64)
+        in_t = tid < nt
+        first_of = np.ones(n, bool)
+        first_of[1:] = tid[1:] != tid[:-1]
+        r_mask = in_t & first_of
+        root[tid[r_mask]] = ids[r_mask]
+
+        for a in range(3):
+            box[ci, a * pad_nodes : a * pad_nodes + n] = c["aabb_min"][:, a]
+            box[ci, (3 + a) * pad_nodes : (3 + a) * pad_nodes + n] = (
+                c["aabb_max"][:, a]
+            )
+        site = np.full(n, -1, np.int64)
+        site[root] = np.arange(nt)
+        tidm[ci, :n] = site
+        tidm[ci, tid_len - 1] = n
+
+        tl = tid[in_t]
+        ll = ids[in_t] - root[tl]
+        assert ll.max(initial=0) <= NODE_CAP - 1
+        for a in range(3):
+            planes[ci, tl, a, :, ll] = c["aabb_min"][in_t, a][:, None]
+            planes[ci, tl, 3 + a, :, ll] = c["aabb_max"][in_t, a][:, None]
+
+        succ, skip = octant_links(
+            c["aabb_min"], c["aabb_max"], c["first"], c["miss"]
+        )
+
+        def localize(lk):
+            # global link -> local id within the node's treelet, DONE on
+            # exit (membership = same treelet id at the target)
+            tgt = lk[:, in_t]                         # (8, Nt)
+            lo = tgt - root[tl][None, :]
+            tgt_c = np.clip(tgt, 0, n - 1)
+            inside = (tgt < n) & (tid[tgt_c] == tl[None, :]) & (lo >= 0)
+            return np.where(inside, lo, DONE)
+
+        sl = localize(succ)
+        kl = localize(skip)
+        cnt = np.maximum(c["count"][in_t], 0) * (c["first"][in_t] >= 0)
+        for o in range(OCTANTS):
+            links[ci, o, tl, 0, :, ll] = sl[o][:, None]
+            links[ci, o, tl, 1, :, ll] = kl[o][:, None]
+            links[ci, o, tl, 2, :, ll] = cnt[:, None]
+
+        leaf = in_t & (c["first"] >= 0)
+        tlf = tid[leaf]
+        llf = ids[leaf] - root[tlf]
+        fr = c["first"][leaf]
+        cn = c["count"][leaf]
+        tmax_i = c["v0"].shape[0] - 1
+        for k in range(LEAF_UNROLL):
+            val = cn > k
+            s = np.minimum(fr + k, tmax_i)
+            tv, lv, sv = tlf[val], llf[val], s[val]
+            for a in range(3):
+                mt[ci, tv, k * 9 + a, lv] = c["v0"][sv, a]
+                mt[ci, tv, k * 9 + 3 + a, lv] = c["e1"][sv, a]
+                mt[ci, tv, k * 9 + 6 + a, lv] = c["e2"][sv, a]
+            if normals:
+                for p9 in range(9):
+                    mt[ci, tv, OFF_NRM_ROW + k * 9 + p9, lv] = (
+                        c["n_soa"][p9][sv]
+                    )
+
+    arrays = {
+        # SMEM-destined tables stay flat 1-D: Mosaic rejects 1-D-tile
+        # DMAs whose source is a row slice of a 2-D array (tiling
+        # mismatch); the kernels slice these with pl.ds like ops/mega.py
+        "box": box.reshape(-1),
+        "tid": tidm.reshape(-1),
+        "planes": planes,
+        "links": links.reshape(cN * OCTANTS, t_pad, 3, 8, 128),
+        "mt": mt,
+    }
+    return arrays, (pad_nodes, t_pad, box_len, tid_len, rows_mt)
+
+
+# ---------------------------------------------------------------------------
+# kernel walk pieces
+# ---------------------------------------------------------------------------
+
+
+def _look(bank, idx):
+    """128-entry per-lane bank lookup (Mosaic: tpu.dynamic_gather)."""
+    return jnp.take_along_axis(bank, idx, axis=1)
+
+
+def _row(mt_ref, site, row):
+    """Compact MT row -> row-replicated (8,128) gather bank."""
+    return jnp.broadcast_to(mt_ref[site, row].reshape(1, 128), (8, 128))
+
+
+def _tl_slab(pln_ref, site, nd, o, d_inv, tmin, tfar):
+    """Per-lane treelet slab test — formula identical to mega._slab_tab."""
+    tns, tfs = [], []
+    for a in range(3):
+        lo = _look(pln_ref[site, a], nd)
+        hi = _look(pln_ref[site, 3 + a], nd)
+        t0 = (lo - o[a]) * d_inv[a]
+        t1 = (hi - o[a]) * d_inv[a]
+        tns.append(jnp.minimum(t0, t1))
+        tfs.append(jnp.maximum(t0, t1))
+    t_near = jnp.maximum(jnp.maximum(tns[0], tns[1]),
+                         jnp.maximum(tns[2], tmin))
+    t_far = jnp.minimum(jnp.minimum(tfs[0], tfs[1]),
+                        jnp.minimum(tfs[2], tfar))
+    return t_near <= t_far
+
+
+def _mt_bank(mt_ref, site, k, qn, o, d, tmin, best_t):
+    """Node-indexed Moller-Trumbore slot k — formula matches mega._mt_tab."""
+    base = k * 9
+    v0 = [_look(_row(mt_ref, site, base + a), qn) for a in range(3)]
+    e1 = [_look(_row(mt_ref, site, base + 3 + a), qn) for a in range(3)]
+    e2 = [_look(_row(mt_ref, site, base + 6 + a), qn) for a in range(3)]
+    px = d[1] * e2[2] - d[2] * e2[1]
+    py = d[2] * e2[0] - d[0] * e2[2]
+    pz = d[0] * e2[1] - d[1] * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    inv_det = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+    tvx, tvy, tvz = o[0] - v0[0], o[1] - v0[1], o[2] - v0[2]
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1[2] - tvz * e1[1]
+    qy = tvz * e1[0] - tvx * e1[2]
+    qz = tvx * e1[1] - tvy * e1[0]
+    v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+    hit = (
+        (jnp.abs(det) > 1e-9)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > tmin) & (t < best_t)
+    )
+    return t, u, v, hit
+
+
+def _interp_bank(mt_ref, site, k, qn, u, v):
+    """Barycentric normal interpolation from the node-indexed normal rows."""
+    base = OFF_NRM_ROW + k * 9
+    w_ = 1.0 - u - v
+    out = []
+    for a in range(3):
+        n0 = _look(_row(mt_ref, site, base + a), qn)
+        n1 = _look(_row(mt_ref, site, base + 3 + a), qn)
+        n2 = _look(_row(mt_ref, site, base + 6 + a), qn)
+        out.append(w_ * n0 + u * n1 + v * n2)
+    return tuple(out)
+
+
+def _queue_push(qs, qc, push, nd):
+    qs = tuple(
+        jnp.where(push & (qc == j), nd, qs[j]) for j in range(QD)
+    )
+    return qs, qc + jnp.where(push, 1, 0)
+
+
+def _any_or(masks):
+    """OR a list of lane masks first so the while-loop condition costs ONE
+    vector->scalar reduction (measured: each reduce in a loop cond is a
+    scalar-pipeline sync; the first kernel cut paid ~8 per iteration)."""
+    c = masks[0]
+    for m_ in masks[1:]:
+        c = c | m_
+    return jnp.any(c)
+
+
+# od scratch plane layout: transformed ray origins / directions / inverse
+# directions, written ONCE per (entry, block) and re-read by every walk
+# iteration — keeping them OUT of the while-loop carries (the first
+# kernel cut carried ~36 extra vregs of o/d/inv per 4-slice walk and
+# register spills ate the per-lane iteration win)
+OD_O, OD_D, OD_INV = 0, 3, 6
+
+
+def _tl_step(pln_ref, lnk_ref, site, lnode, bt, qs, qc, o, d_inv, tmin):
+    """One per-lane interior step: slab + leaf push + link follow."""
+    succ = _look(lnk_ref[site, 0], lnode)
+    skip = _look(lnk_ref[site, 1], lnode)
+    cnt = _look(lnk_ref[site, 2], lnode)
+    box = _tl_slab(pln_ref, site, lnode, o, d_inv, tmin, bt)
+    leaf = cnt > 0
+    push = box & leaf
+    qs, qc = _queue_push(qs, qc, push, lnode)
+    lnode = jnp.where(box & ~leaf, succ, skip)
+    return lnode, qs, qc
+
+
+def _walk_closest_perlane(
+    boxf, tidm, tabo, pln_ref, lnk_ref, mt_ref, od_ref, st_buf, slot,
+    pks, m, matid, instid, pn, tid_len, tmin,
+):
+    """Two-level closest walk of ``len(pks)`` single-packet slices.
+
+    Top-tree consensus against the SMEM box planes; treelets per-lane via
+    the VMEM gather banks with deferred-leaf drains. Only the per-lane
+    ``best_t`` lives in the loop carries: rays come from the ``od_ref``
+    scratch planes and drains commit winners (t, u, v, world normal, mat,
+    inst) STRAIGHT into the state buffer under a ``pl.when`` — the merge
+    phase of the consensus kernel happens incrementally here.
+    """
+    end = tidm[tid_len - 1]
+    ns = len(pks)
+
+    def o_of(i):
+        return [od_ref[OD_O + a, pks[i]] for a in range(3)]
+
+    def d_of(i):
+        return [od_ref[OD_D + a, pks[i]] for a in range(3)]
+
+    def inv_of(i):
+        return [od_ref[OD_INV + a, pks[i]] for a in range(3)]
+
+    bt0 = tuple(st_buf[slot, ST_T, pks[i]] for i in range(ns))
+    any_live = _any_or([b > tmin for b in bt0])
+    tnode0 = jnp.where(any_live, jnp.int32(0), end)
+
+    def f32bits(x):
+        return pltpu.bitcast(x, jnp.float32)
+
+    def i32bits(x):
+        return pltpu.bitcast(x, jnp.int32)
+
+    def drain_all(site, qss, qcs, bt4):
+        """Drain every slice's leaf queue jointly; the queue-slot loop is
+        a while over ``j`` bounded by the ACTUAL max queue depth — most
+        drains (treelet exits) hold 1-2 entries, and the full-QD unroll
+        was ~2.3 us per phase regardless."""
+        shape = bt4[0].shape
+        z = jnp.zeros(shape, jnp.float32)
+        zi = jnp.zeros(shape, jnp.int32)
+        # `improved` is carried as i32 — Mosaic cannot loop-carry i1
+        # vectors through scf.while (failed to legalize scf.yield)
+        init = (jnp.int32(0), tuple(bt4),
+                tuple((zi, zi, z, z, zi) for _ in range(ns)))
+
+        def cond(c):
+            j = c[0]
+            return (j < QD) & _any_or([qc > j for qc in qcs])
+
+        def body(c):
+            j, bt4, accs = c
+            out_b, out_a = [], []
+            for i in range(ns):
+                o = o_of(i)
+                d = d_of(i)
+                bt = bt4[i]
+                win_q, win_k, ju, jv, improved = accs[i]
+                qn = qss[i][0]
+                for j2 in range(1, QD):
+                    qn = jnp.where(j == j2, qss[i][j2], qn)
+                occm = qcs[i] > j
+                cntq = _look(lnk_ref[site, 2], qn)
+                for k in range(LEAF_UNROLL):
+                    t, u, v, hit = _mt_bank(mt_ref, site, k, qn, o, d,
+                                            tmin, bt)
+                    hit = hit & occm & (cntq > k)
+                    bt = jnp.where(hit, t, bt)
+                    ju = jnp.where(hit, u, ju)
+                    jv = jnp.where(hit, v, jv)
+                    win_q = jnp.where(hit, qn, win_q)
+                    win_k = jnp.where(hit, k, win_k)
+                    improved = improved | hit.astype(jnp.int32)
+                out_b.append(bt)
+                out_a.append((win_q, win_k, ju, jv, improved))
+            return j + 1, tuple(out_b), tuple(out_a)
+
+        _, bt4, accs = jax.lax.while_loop(cond, body, init)
+        for i in range(ns):
+            _commit(site, i, bt4[i], accs[i])
+        return bt4
+
+    def _commit(site, i, bt, acc):
+        win_q, win_k, ju, jv, improved_i = acc
+        improved = improved_i != 0
+        pk = pks[i]
+
+        @pl.when(jnp.any(improved))
+        def _():
+            # one interpolation for the drain's final winner (object
+            # space), then the instance inverse-transpose into world
+            # space (src/shader.rchit:93-94) and the state commit
+            vals = [
+                _interp_bank(mt_ref, site, k, win_q, ju, jv)
+                for k in range(LEAF_UNROLL)
+            ]
+            bn = []
+            for a in range(3):
+                n_a = vals[0][a]
+                for k in range(1, LEAF_UNROLL):
+                    n_a = jnp.where(win_k == k, vals[k][a], n_a)
+                bn.append(n_a)
+            nwx = m[0] * bn[0] + m[4] * bn[1] + m[8] * bn[2]
+            nwy = m[1] * bn[0] + m[5] * bn[1] + m[9] * bn[2]
+            nwz = m[2] * bn[0] + m[6] * bn[1] + m[10] * bn[2]
+            st_buf[slot, ST_VALID, pk] = f32bits(
+                jnp.where(improved, 1,
+                          i32bits(st_buf[slot, ST_VALID, pk]))
+            )
+            st_buf[slot, ST_MAT, pk] = f32bits(
+                jnp.where(improved, matid,
+                          i32bits(st_buf[slot, ST_MAT, pk]))
+            )
+            st_buf[slot, ST_INST, pk] = f32bits(
+                jnp.where(improved, instid,
+                          i32bits(st_buf[slot, ST_INST, pk]))
+            )
+            st_buf[slot, ST_NX, pk] = jnp.where(
+                improved, nwx, st_buf[slot, ST_NX, pk])
+            st_buf[slot, ST_NY, pk] = jnp.where(
+                improved, nwy, st_buf[slot, ST_NY, pk])
+            st_buf[slot, ST_NZ, pk] = jnp.where(
+                improved, nwz, st_buf[slot, ST_NZ, pk])
+            st_buf[slot, ST_U, pk] = jnp.where(
+                improved, ju, st_buf[slot, ST_U, pk])
+            st_buf[slot, ST_V, pk] = jnp.where(
+                improved, jv, st_buf[slot, ST_V, pk])
+            st_buf[slot, ST_T, pk] = bt
+        return bt
+
+    def treelet_walk(site, enter4, bt4):
+        lnodes = tuple(
+            jnp.where(enter4[i], jnp.int32(0), DONE) for i in range(ns)
+        )
+        z = jnp.zeros(lnodes[0].shape, jnp.int32)
+        qss = tuple((z, z, z, z) for _ in range(ns))
+        qcs = tuple(z for _ in range(ns))
+
+        def phase_cond(c):
+            lnodes, qss, qcs, bt4 = c
+            return _any_or([
+                (lnodes[i] != DONE) | (qcs[i] > 0) for i in range(ns)
+            ])
+
+        def phase_body(c):
+            lnodes, qss, qcs, bt4 = c
+
+            def step_cond(c2):
+                lnodes, qss, qcs = c2
+                act = _any_or([ln != DONE for ln in lnodes])
+                full = _any_or([qc >= QD for qc in qcs])
+                return act & ~full
+
+            def step_body(c2):
+                lnodes, qss, qcs = c2
+                out_l, out_qs, out_qc = [], [], []
+                for i in range(ns):
+                    ln, qs, qc = _tl_step(
+                        pln_ref, lnk_ref, site, lnodes[i], bt4[i],
+                        qss[i], qcs[i], o_of(i), inv_of(i), tmin,
+                    )
+                    out_l.append(ln)
+                    out_qs.append(qs)
+                    out_qc.append(qc)
+                return tuple(out_l), tuple(out_qs), tuple(out_qc)
+
+            lnodes, qss, qcs = jax.lax.while_loop(
+                step_cond, step_body, (lnodes, qss, qcs)
+            )
+            bt4 = drain_all(site, qss, qcs, bt4)
+            z = jnp.zeros(lnodes[0].shape, jnp.int32)
+            qcs = tuple(z for _ in range(ns))
+            return lnodes, qss, qcs, bt4
+
+        _, _, _, bt4 = jax.lax.while_loop(
+            phase_cond, phase_body, (lnodes, qss, qcs, bt4)
+        )
+        return bt4
+
+    def top_cond(c):
+        return c[0] != end
+
+    def top_body(c):
+        tnode, bt4 = c
+        site = tidm[tnode]
+        box4 = [
+            _slab_tab(boxf, pn, o_of(i), inv_of(i), tnode, tmin, bt4[i])
+            for i in range(ns)
+        ]
+        any_box = _any_or(box4)
+        is_site = site >= 0
+        enter = is_site & any_box
+        bt4 = treelet_walk(site, [enter & b for b in box4], bt4)
+        nxt = jnp.where((~is_site) & any_box, tabo[tnode],
+                        tabo[pn + tnode])
+        return nxt, bt4
+
+    jax.lax.while_loop(top_cond, top_body, (tnode0, bt0))
+
+
+def _walk_anyhit_perlane(
+    boxf, tidm, tabo, pln_ref, lnk_ref, mt_ref, od_ref,
+    pks, tmaxs, occ0s, pn, tid_len, tmin,
+):
+    """Two-level occlusion walk; returns the occlusion mask per slice."""
+    end = tidm[tid_len - 1]
+    ns = len(pks)
+    live0s = [t > tmin for t in tmaxs]
+
+    def o_of(i):
+        return [od_ref[OD_O + a, pks[i]] for a in range(3)]
+
+    def d_of(i):
+        return [od_ref[OD_D + a, pks[i]] for a in range(3)]
+
+    def inv_of(i):
+        return [od_ref[OD_INV + a, pks[i]] for a in range(3)]
+
+    any_live = _any_or([
+        live0s[i] & (occ0s[i] == 0) for i in range(ns)
+    ])
+    tnode0 = jnp.where(any_live, jnp.int32(0), end)
+
+    def pending_t(i, occ):
+        return jnp.where(live0s[i] & (occ == 0), tmaxs[i], 0.0)
+
+    def drain_all(site, qss, qcs, occs):
+        # the shadow WINDOW bounds hits (t < tmax: geometry beyond the
+        # light must not occlude, src/shader.rgen:111-112); frozen at
+        # drain entry — extra tests on lanes occluded mid-drain are
+        # absorbed by the OR. The queue-slot loop is a while over ``j``
+        # bounded by the actual max queue depth.
+        wns = tuple(pending_t(i, occs[i]) for i in range(ns))
+
+        def cond(c):
+            j = c[0]
+            return (j < QD) & _any_or([qc > j for qc in qcs])
+
+        def body(c):
+            j, occs = c
+            out = []
+            for i in range(ns):
+                o = o_of(i)
+                d = d_of(i)
+                occ = occs[i]
+                qn = qss[i][0]
+                for j2 in range(1, QD):
+                    qn = jnp.where(j == j2, qss[i][j2], qn)
+                occm = qcs[i] > j
+                cntq = _look(lnk_ref[site, 2], qn)
+                for k in range(LEAF_UNROLL):
+                    _, _, _, hit = _mt_bank(mt_ref, site, k, qn, o, d,
+                                            tmin, wns[i])
+                    occ = occ | (hit & occm
+                                 & (cntq > k)).astype(jnp.int32)
+                out.append(occ)
+            return j + 1, tuple(out)
+
+        _, occs = jax.lax.while_loop(cond, body,
+                                     (jnp.int32(0), tuple(occs)))
+        return occs
+
+    def treelet_walk(site, enter4, occs):
+        lnodes = tuple(
+            jnp.where(enter4[i], jnp.int32(0), DONE) for i in range(ns)
+        )
+        z = jnp.zeros(lnodes[0].shape, jnp.int32)
+        qss = tuple((z, z, z, z) for _ in range(ns))
+        qcs = tuple(z for _ in range(ns))
+
+        def phase_cond(c):
+            lnodes, qss, qcs, occs = c
+            return _any_or([
+                (lnodes[i] != DONE) | (qcs[i] > 0) for i in range(ns)
+            ])
+
+        def phase_body(c):
+            lnodes, qss, qcs, occs = c
+
+            def step_cond(c2):
+                lnodes, qss, qcs = c2
+                act = _any_or([ln != DONE for ln in lnodes])
+                full = _any_or([qc >= QD for qc in qcs])
+                return act & ~full
+
+            def step_body(c2):
+                lnodes, qss, qcs = c2
+                out_l, out_qs, out_qc = [], [], []
+                for i in range(ns):
+                    ln, qs, qc = _tl_step(
+                        pln_ref, lnk_ref, site, lnodes[i],
+                        pending_t(i, occs[i]), qss[i], qcs[i],
+                        o_of(i), inv_of(i), tmin,
+                    )
+                    out_l.append(ln)
+                    out_qs.append(qs)
+                    out_qc.append(qc)
+                return tuple(out_l), tuple(out_qs), tuple(out_qc)
+
+            lnodes, qss, qcs = jax.lax.while_loop(
+                step_cond, step_body, (lnodes, qss, qcs)
+            )
+            occs = drain_all(site, qss, qcs, occs)
+            # newly occluded lanes stop walking
+            lnodes = tuple(
+                jnp.where(occs[i] != 0, DONE, lnodes[i])
+                for i in range(ns)
+            )
+            z = jnp.zeros(lnodes[0].shape, jnp.int32)
+            qcs = tuple(z for _ in range(ns))
+            return lnodes, qss, qcs, occs
+
+        _, _, _, occs = jax.lax.while_loop(
+            phase_cond, phase_body, (lnodes, qss, qcs, occs)
+        )
+        return occs
+
+    def top_cond(c):
+        return c[0] != end
+
+    def top_body(c):
+        tnode, occs = c
+        site = tidm[tnode]
+        box4 = [
+            _slab_tab(boxf, pn, o_of(i), inv_of(i), tnode, tmin,
+                      pending_t(i, occs[i]))
+            for i in range(ns)
+        ]
+        any_box = _any_or(box4)
+        is_site = site >= 0
+        enter = is_site & any_box
+        occs = treelet_walk(site, [enter & b for b in box4], occs)
+        done = ~_any_or([
+            live0s[i] & (occs[i] == 0) for i in range(ns)
+        ])
+        nxt = jnp.where((~is_site) & any_box, tabo[tnode],
+                        tabo[pn + tnode])
+        nxt = jnp.where(done, end, nxt)
+        return nxt, occs
+
+    _, occs = jax.lax.while_loop(top_cond, top_body, (tnode0, occ0s))
+    return list(occs)
+
+
+# ---------------------------------------------------------------------------
+# sweep kernels (DMA scaffolding mirrors ops/mega.py)
+# ---------------------------------------------------------------------------
+
+
+def _perlane_closest_kernel(
+    bits_ref, octs_ref,
+    meshof_ref, w2o_ref, matid_ref, instid_ref,
+    box_hbm, tid_hbm, oct_hbm, pln_hbm, lnk_hbm, mt_hbm,
+    rays_hbm, st_hbm,
+    st_out,
+    boxf, tidm, tabo, cur_mesh, pend_blk,
+    pln_v, lnk_v, mt_v, ray_buf, st_buf, od_buf,
+    sem_tab, sem_oct, sem_in, sem_out,
+    *,
+    tmin: float, pn: int, box_len: int, tid_len: int, oct_len: int,
+    num_blocks: int,
+):
+    e = pl.program_id(0)
+    num_e = pl.num_programs(0)
+    bp = BLOCK_PACKETS
+
+    @pl.when(e == 0)
+    def _():
+        cur_mesh[0] = -1
+        cur_mesh[1] = -1
+        pend_blk[0] = -1
+        pend_blk[1] = -1
+
+    mesh = meshof_ref[e]
+    m = _read_w2o(w2o_ref, e)
+    matid = matid_ref[e]
+    instid = instid_ref[e]
+
+    def process_block(b, slot):
+        @pl.when(cur_mesh[0] != mesh)
+        def _():
+            cur_mesh[0] = mesh
+            dmas = [
+                pltpu.make_async_copy(
+                    box_hbm.at[pl.ds(mesh * box_len, box_len)], boxf,
+                    sem_tab.at[0]),
+                pltpu.make_async_copy(
+                    tid_hbm.at[pl.ds(mesh * tid_len, tid_len)], tidm,
+                    sem_tab.at[1]),
+                pltpu.make_async_copy(pln_hbm.at[mesh], pln_v,
+                                      sem_tab.at[2]),
+                pltpu.make_async_copy(mt_hbm.at[mesh], mt_v,
+                                      sem_tab.at[3]),
+            ]
+            for dma in dmas:
+                dma.start()
+            for dma in dmas:
+                dma.wait()
+
+        okey = mesh * 8 + octs_ref[b]
+
+        @pl.when(cur_mesh[1] != okey)
+        def _():
+            cur_mesh[1] = okey
+            d0 = pltpu.make_async_copy(
+                oct_hbm.at[pl.ds(okey * oct_len, oct_len)], tabo,
+                sem_oct.at[0],
+            )
+            d1 = pltpu.make_async_copy(lnk_hbm.at[okey], lnk_v,
+                                       sem_oct.at[1])
+            d0.start()
+            d1.start()
+            d0.wait()
+            d1.wait()
+
+        for s in range(2):
+            @pl.when(pend_blk[s] == b)
+            def _():
+                pltpu.make_async_copy(
+                    st_buf.at[s],
+                    st_out.at[:, pl.ds(pend_blk[s] * bp, bp)],
+                    sem_out.at[s],
+                ).wait()
+                pend_blk[s] = -1
+
+        @pl.when(pend_blk[slot] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                st_buf.at[slot],
+                st_out.at[:, pl.ds(pend_blk[slot] * bp, bp)],
+                sem_out.at[slot],
+            ).wait()
+            pend_blk[slot] = -1
+
+        din = pltpu.make_async_copy(
+            rays_hbm.at[:, pl.ds(b * bp, bp)], ray_buf.at[slot],
+            sem_in.at[slot, 0],
+        )
+        dst = pltpu.make_async_copy(
+            st_out.at[:, pl.ds(b * bp, bp)], st_buf.at[slot],
+            sem_in.at[slot, 1],
+        )
+        din.start()
+        dst.start()
+        din.wait()
+        dst.wait()
+
+        # transformed rays -> od scratch once per (entry, block)
+        for pk in range(bp):
+            ow = [ray_buf[slot, c, pk] for c in range(3)]
+            dw = [ray_buf[slot, 3 + c, pk] for c in range(3)]
+            o, dd = _xform_rays(m, ow, dw)
+            iv = _inv(dd)
+            for a in range(3):
+                od_buf[OD_O + a, pk] = o[a]
+                od_buf[OD_D + a, pk] = dd[a]
+                od_buf[OD_INV + a, pk] = iv[a]
+
+        for g0 in range(0, bp, W_PK):
+            _walk_closest_perlane(
+                boxf, tidm, tabo, pln_v, lnk_v, mt_v, od_buf, st_buf,
+                slot, list(range(g0, g0 + W_PK)), m, matid, instid,
+                pn, tid_len, tmin,
+            )
+
+        pltpu.make_async_copy(
+            st_buf.at[slot], st_out.at[:, pl.ds(b * bp, bp)],
+            sem_out.at[slot],
+        ).start()
+        pend_blk[slot] = b
+
+    _scan_bitmask(bits_ref, e, num_blocks, process_block)
+
+    @pl.when(e == num_e - 1)
+    def _():
+        for s in range(2):
+            @pl.when(pend_blk[s] >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    st_buf.at[s],
+                    st_out.at[:, pl.ds(pend_blk[s] * bp, bp)],
+                    sem_out.at[s],
+                ).wait()
+                pend_blk[s] = -1
+
+
+def perlane_closest_sweep(
+    scene, static,
+    rays: jnp.ndarray,     # (6, P, 8, 128) packed world rays
+    tmin: float,
+    state: jnp.ndarray,    # (9, P, 8, 128) packed trace state
+) -> jnp.ndarray:
+    """One full closest-hit sweep via the two-level per-lane kernel."""
+    p = rays.shape[1]
+    assert p % BLOCK_PACKETS == 0
+    pn, t_pad, box_len, tid_len, rows_mt = static.perlane_layout
+    oct_len = _align(2 * pn)
+    num_blocks = p // BLOCK_PACKETS
+
+    bits, octs, depth = chunk_block_hits(scene, static, rays, state[ST_T],
+                                         tmin)
+    entries = static.traversal_list
+    e_n = len(entries)
+    meshof = jnp.asarray([mm for _, mm in entries], jnp.int32)
+    instid = jnp.asarray([i for i, _ in entries], jnp.int32)
+    perm = jnp.argsort(depth)
+    bits = jnp.take(bits, perm, axis=0)
+    meshof = jnp.take(meshof, perm)
+    instid = jnp.take(instid, perm)
+    w2o = scene.w2o[instid].reshape(e_n, 12)
+    matid = scene.materials[instid].astype(jnp.int32)
+
+    kernel = functools.partial(
+        _perlane_closest_kernel,
+        tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
+        oct_len=oct_len, num_blocks=num_blocks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(e_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meshof
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # w2o
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # matid
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # instid
+            pl.BlockSpec(memory_space=pl.ANY),       # box
+            pl.BlockSpec(memory_space=pl.ANY),       # tid
+            pl.BlockSpec(memory_space=pl.ANY),       # oct
+            pl.BlockSpec(memory_space=pl.ANY),       # planes
+            pl.BlockSpec(memory_space=pl.ANY),       # links
+            pl.BlockSpec(memory_space=pl.ANY),       # mt
+            pl.BlockSpec(memory_space=pl.ANY),       # rays
+            pl.BlockSpec(memory_space=pl.ANY),       # state (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SMEM((box_len,), jnp.float32),
+            pltpu.SMEM((tid_len,), jnp.int32),
+            pltpu.SMEM((oct_len,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((t_pad, 6, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((t_pad, 3, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM((t_pad, rows_mt, K_LANE), jnp.float32),
+            pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((2, 9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((9, p, K_SUB, K_LANE), jnp.float32),
+        input_output_aliases={13: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bits, octs, meshof, w2o, matid, instid,
+      scene.pl_box, scene.pl_tid, scene.mega_oct,
+      scene.pl_planes, scene.pl_links, scene.pl_mt, rays, state)
+    return out
+
+
+def _perlane_anyhit_kernel(
+    bits_ref, octs_ref,
+    meshof_ref, w2o_ref,
+    box_hbm, tid_hbm, oct_hbm, pln_hbm, lnk_hbm, mt_hbm,
+    rays_hbm, tmax_hbm, occ_in_hbm,
+    occ_out,
+    boxf, tidm, tabo, cur_mesh, pend_blk,
+    pln_v, lnk_v, mt_v, ray_buf, tmax_buf, occ_buf, od_buf,
+    sem_tab, sem_oct, sem_in, sem_out,
+    *,
+    tmin: float, pn: int, box_len: int, tid_len: int, oct_len: int,
+    num_blocks: int,
+):
+    e = pl.program_id(0)
+    num_e = pl.num_programs(0)
+    bp = BLOCK_PACKETS
+
+    @pl.when(e == 0)
+    def _():
+        cur_mesh[0] = -1
+        cur_mesh[1] = -1
+        pend_blk[0] = -1
+        pend_blk[1] = -1
+
+    mesh = meshof_ref[e]
+    m = _read_w2o(w2o_ref, e)
+
+    def process_block(b, slot):
+        @pl.when(cur_mesh[0] != mesh)
+        def _():
+            cur_mesh[0] = mesh
+            dmas = [
+                pltpu.make_async_copy(
+                    box_hbm.at[pl.ds(mesh * box_len, box_len)], boxf,
+                    sem_tab.at[0]),
+                pltpu.make_async_copy(
+                    tid_hbm.at[pl.ds(mesh * tid_len, tid_len)], tidm,
+                    sem_tab.at[1]),
+                pltpu.make_async_copy(pln_hbm.at[mesh], pln_v,
+                                      sem_tab.at[2]),
+                pltpu.make_async_copy(mt_hbm.at[mesh], mt_v,
+                                      sem_tab.at[3]),
+            ]
+            for dma in dmas:
+                dma.start()
+            for dma in dmas:
+                dma.wait()
+
+        okey = mesh * 8 + octs_ref[b]
+
+        @pl.when(cur_mesh[1] != okey)
+        def _():
+            cur_mesh[1] = okey
+            d0 = pltpu.make_async_copy(
+                oct_hbm.at[pl.ds(okey * oct_len, oct_len)], tabo,
+                sem_oct.at[0],
+            )
+            d1 = pltpu.make_async_copy(lnk_hbm.at[okey], lnk_v,
+                                       sem_oct.at[1])
+            d0.start()
+            d1.start()
+            d0.wait()
+            d1.wait()
+
+        for s in range(2):
+            @pl.when(pend_blk[s] == b)
+            def _():
+                pltpu.make_async_copy(
+                    occ_buf.at[s],
+                    occ_out.at[pl.ds(pend_blk[s] * bp, bp)],
+                    sem_out.at[s],
+                ).wait()
+                pend_blk[s] = -1
+
+        @pl.when(pend_blk[slot] >= 0)
+        def _():
+            pltpu.make_async_copy(
+                occ_buf.at[slot],
+                occ_out.at[pl.ds(pend_blk[slot] * bp, bp)],
+                sem_out.at[slot],
+            ).wait()
+            pend_blk[slot] = -1
+
+        d0 = pltpu.make_async_copy(
+            rays_hbm.at[:, pl.ds(b * bp, bp)], ray_buf.at[slot],
+            sem_in.at[slot, 0])
+        d1 = pltpu.make_async_copy(
+            tmax_hbm.at[pl.ds(b * bp, bp)], tmax_buf.at[slot],
+            sem_in.at[slot, 1])
+        d2 = pltpu.make_async_copy(
+            occ_out.at[pl.ds(b * bp, bp)], occ_buf.at[slot],
+            sem_in.at[slot, 2])
+        d0.start(); d1.start(); d2.start()
+        d0.wait(); d1.wait(); d2.wait()
+
+        for pk in range(bp):
+            ow = [ray_buf[slot, c, pk] for c in range(3)]
+            dw = [ray_buf[slot, 3 + c, pk] for c in range(3)]
+            o, dd = _xform_rays(m, ow, dw)
+            iv = _inv(dd)
+            for a in range(3):
+                od_buf[OD_O + a, pk] = o[a]
+                od_buf[OD_D + a, pk] = dd[a]
+                od_buf[OD_INV + a, pk] = iv[a]
+
+        for g0 in range(0, bp, W_PK):
+            pks = list(range(g0, g0 + W_PK))
+            tmaxs = [tmax_buf[slot, pk] for pk in pks]
+            occ0s = tuple(occ_buf[slot, pk] for pk in pks)
+            res = _walk_anyhit_perlane(
+                boxf, tidm, tabo, pln_v, lnk_v, mt_v, od_buf,
+                pks, tmaxs, occ0s, pn, tid_len, tmin,
+            )
+            for i, pk in enumerate(pks):
+                @pl.when(jnp.any((tmaxs[i] > tmin) & (occ0s[i] == 0)))
+                def _(i=i, pk=pk):
+                    occ_buf[slot, pk] = res[i]
+
+        pltpu.make_async_copy(
+            occ_buf.at[slot], occ_out.at[pl.ds(b * bp, bp)],
+            sem_out.at[slot],
+        ).start()
+        pend_blk[slot] = b
+
+    _scan_bitmask(bits_ref, e, num_blocks, process_block)
+
+    @pl.when(e == num_e - 1)
+    def _():
+        for s in range(2):
+            @pl.when(pend_blk[s] >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    occ_buf.at[s],
+                    occ_out.at[pl.ds(pend_blk[s] * bp, bp)],
+                    sem_out.at[s],
+                ).wait()
+                pend_blk[s] = -1
+
+
+def perlane_anyhit_sweep(
+    scene, static,
+    rays: jnp.ndarray,       # (6, P, 8, 128)
+    tmin: float,
+    tmax_reg: jnp.ndarray,   # (P, 8, 128)
+    occ: jnp.ndarray,        # (P, 8, 128) int32 (donated)
+) -> jnp.ndarray:
+    p = rays.shape[1]
+    assert p % BLOCK_PACKETS == 0
+    if static.perlane_shadow_layout is not None:
+        pn, t_pad, box_len, tid_len, rows_mt = static.perlane_shadow_layout
+        entries = static.shadow_traversal_list
+        tabs = (scene.pl_sh_box, scene.pl_sh_tid, scene.mega_sh_oct,
+                scene.pl_sh_planes, scene.pl_sh_links, scene.pl_sh_mt)
+        roots = scene.mega_sh_root
+    else:
+        pn, t_pad, box_len, tid_len, rows_mt = static.perlane_layout
+        entries = static.traversal_list
+        tabs = (scene.pl_box, scene.pl_tid, scene.mega_oct,
+                scene.pl_planes, scene.pl_links, scene.pl_mt)
+        roots = None
+    oct_len = _align(2 * pn)
+    num_blocks = p // BLOCK_PACKETS
+
+    bits, octs, depth = chunk_block_hits(scene, static, rays, tmax_reg,
+                                         tmin, roots=roots,
+                                         entries=entries)
+    e_n = len(entries)
+    meshof = jnp.asarray([mm for _, mm in entries], jnp.int32)
+    instid = jnp.asarray([i for i, _ in entries], jnp.int32)
+    perm = jnp.argsort(depth)
+    bits = jnp.take(bits, perm, axis=0)
+    meshof = jnp.take(meshof, perm)
+    instid = jnp.take(instid, perm)
+    w2o = scene.w2o[instid].reshape(e_n, 12)
+
+    kernel = functools.partial(
+        _perlane_anyhit_kernel,
+        tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
+        oct_len=oct_len, num_blocks=num_blocks,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(e_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meshof
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # w2o
+            pl.BlockSpec(memory_space=pl.ANY),       # box
+            pl.BlockSpec(memory_space=pl.ANY),       # tid
+            pl.BlockSpec(memory_space=pl.ANY),       # oct
+            pl.BlockSpec(memory_space=pl.ANY),       # planes
+            pl.BlockSpec(memory_space=pl.ANY),       # links
+            pl.BlockSpec(memory_space=pl.ANY),       # mt
+            pl.BlockSpec(memory_space=pl.ANY),       # rays
+            pl.BlockSpec(memory_space=pl.ANY),       # tmax
+            pl.BlockSpec(memory_space=pl.ANY),       # occ (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.SMEM((box_len,), jnp.float32),
+            pltpu.SMEM((tid_len,), jnp.int32),
+            pltpu.SMEM((oct_len,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((t_pad, 6, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((t_pad, 3, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM((t_pad, rows_mt, K_LANE), jnp.float32),
+            pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM((9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
+        input_output_aliases={12: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(bits, octs, meshof, w2o, *tabs, rays, tmax_reg, occ)
+    return out

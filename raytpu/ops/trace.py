@@ -145,8 +145,33 @@ def closest_hit_wave(
 
     p, k = o[0].shape
 
-    # fastest path: the whole (instance x chunk) sweep as ONE persistent
-    # megakernel (ops/mega.py) — tables DMA'd per chunk, culled blocks free
+    # two-level per-lane tier (ops/perlane.py): consensus top tree +
+    # per-lane treelet walks — the fastest path where attached
+    if _use_perlane(static, p, k):
+        from raytpu.ops.perlane import perlane_closest_sweep
+        from raytpu.ops.traverse_pallas import (
+            make_trace_state,
+            pack_rays,
+            unpack_state,
+        )
+
+        tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+        rays = pack_rays(o, d)
+        state = make_trace_state(tmax_pk)
+        state = perlane_closest_sweep(scene, static, rays, tmin, state)
+        t, valid, mat, inst, n, u, v = unpack_state(state, p, k)
+        return HitWave(
+            t=jnp.where(valid, t, BIG_T),
+            valid=valid,
+            mat=mat,
+            n=v3.normalize(n),
+            inst=inst,
+            u=u,
+            v=v,
+        )
+
+    # the whole (instance x chunk) sweep as ONE persistent megakernel
+    # (ops/mega.py) — tables DMA'd per chunk, culled blocks free
     if _use_mega(static, p, k):
         from raytpu.ops.mega import mega_closest_sweep
         from raytpu.ops.traverse_pallas import (
@@ -325,6 +350,18 @@ def any_hit_wave(
 
     p, k = o[0].shape
 
+    if _use_perlane(static, p, k):
+        from raytpu.ops.perlane import perlane_anyhit_sweep
+        from raytpu.ops.traverse_pallas import pack_rays
+
+        tmax_pk = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (p, k))
+        rays = pack_rays(o, d)
+        tmax_reg = tmax_pk.reshape(p, 8, 128)
+        occ = jnp.zeros((p, 8, 128), jnp.int32)
+        occ = perlane_anyhit_sweep(scene, static, rays, tmin, tmax_reg,
+                                   occ)
+        return occ.reshape(p, k) != 0
+
     if _use_mega(static, p, k):
         from raytpu.ops.mega import mega_anyhit_sweep
         from raytpu.ops.traverse_pallas import pack_rays
@@ -415,6 +452,23 @@ def any_hit_wave(
             ).reshape(p, k)
         occluded = occluded | occ
     return occluded
+
+
+def _use_perlane(static: SceneStatic, p: int, k: int) -> bool:
+    """Static dispatch to the two-level per-lane tier (TPU-only, like the
+    megakernel; forced with traversal='perlane' while it is opt-in)."""
+    from raytpu.ops.mega import BLOCK_PACKETS
+    from raytpu.ops.traverse_pallas import PACKET_K
+
+    if static.traversal != "perlane":
+        return False
+    if static.perlane_layout is None or not static.has_bvh:
+        return False
+    if k != PACKET_K or p % BLOCK_PACKETS != 0:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _use_mega(static: SceneStatic, p: int, k: int) -> bool:

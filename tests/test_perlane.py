@@ -1,0 +1,150 @@
+"""Per-lane tier components testable off-TPU: the treelet partition, the
+packed two-level tables (site map, localized octant links, node-indexed
+MT rows), and dispatch gating.
+
+The compiled kernels are TPU-only (like the megakernel: manual DMA +
+gather semantics); on TPU their bit-equality against the chained
+reference path is enforced by ``tests/test_mega.py``-style gates and the
+CPU replay ``tools/r4_pack_check.py`` validates the exact walk algorithm
+on these tables against a reference walk.
+"""
+
+import numpy as np
+import pytest
+
+from raytpu.accel.bvh import build_bvh
+from raytpu.ops.mega import octant_links
+from raytpu.ops.perlane import (
+    DONE,
+    NODE_CAP,
+    OFF_NRM_ROW,
+    ROWS_ANYHIT,
+    ROWS_CLOSEST,
+    pack_perlane_tables,
+    treelet_partition,
+)
+
+
+def _random_chunk(n_tris=700, seed=0):
+    rng = np.random.RandomState(seed)
+    v0 = rng.randn(n_tris, 3).astype(np.float32)
+    e1 = rng.randn(n_tris, 3).astype(np.float32) * 0.1
+    e2 = rng.randn(n_tris, 3).astype(np.float32) * 0.1
+    bvh = build_bvh(v0, e1, e2, leaf_size=4)
+    order = bvh.tri_order.astype(np.int64)
+    return {
+        "aabb_min": bvh.aabb_min, "aabb_max": bvh.aabb_max,
+        "first": bvh.tri_first, "count": bvh.tri_count, "miss": bvh.miss,
+        "v0": v0[order], "e1": e1[order], "e2": e2[order],
+        "n_soa": rng.randn(9, n_tris).astype(np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def chunk():
+    return _random_chunk()
+
+
+def test_partition_invariants(chunk):
+    first, count, miss = chunk["first"], chunk["count"], chunk["miss"]
+    n = first.shape[0]
+    tid, nt = treelet_partition(first, count, miss)
+    assert nt >= 1
+    # every node assigned; treelets are DFS-contiguous subtree spans
+    assert ((tid >= 0) & (tid <= nt)).all()
+    for t in range(nt):
+        ids = np.flatnonzero(tid == t)
+        assert ids.size <= NODE_CAP
+        assert (np.diff(ids) == 1).all(), "treelet not DFS-contiguous"
+        root = ids[0]
+        assert miss[root] == ids[-1] + 1, "treelet is not a full subtree"
+    # the top tree never contains leaves (every leaf fits a treelet)
+    assert (first[tid == nt] < 0).all()
+    # every leaf is in a treelet
+    assert (tid[first >= 0] < nt).all()
+
+
+def test_packed_tables(chunk):
+    arrays, lay = pack_perlane_tables([chunk], normals=True)
+    pad_nodes, t_pad, box_len, tid_len, rows = lay
+    assert rows == ROWS_CLOSEST
+    n = chunk["first"].shape[0]
+    tid, nt = treelet_partition(chunk["first"], chunk["count"],
+                                chunk["miss"])
+    # site map: treelet id exactly at roots, -1 at top-interior nodes;
+    # sentinel = node count (box/tid arrays are flat 1-D for SMEM DMA)
+    tid_flat = arrays["tid"].reshape(1, tid_len)
+    sites = tid_flat[0, :n]
+    assert tid_flat[0, tid_len - 1] == n
+    roots = {}
+    for t in range(nt):
+        roots[t] = int(np.flatnonzero(tid == t)[0])
+        assert sites[roots[t]] == t
+    assert (sites[tid == nt] == -1).all()
+
+    succ, skip = octant_links(chunk["aabb_min"], chunk["aabb_max"],
+                              chunk["first"], chunk["miss"])
+    planes = arrays["planes"][0]
+    links = arrays["links"].reshape(1, 8, t_pad, 3, 8, 128)[0]
+    mt = arrays["mt"][0]
+    ids = np.arange(n)
+    in_t = tid < nt
+    for g in np.flatnonzero(in_t)[:: max(1, n // 64)]:
+        t = tid[g]
+        ll = g - roots[t]
+        # planes replicated across sublanes and equal to the node AABB
+        for a in range(3):
+            assert (planes[t, a, :, ll] == chunk["aabb_min"][g, a]).all()
+            assert (planes[t, 3 + a, :, ll]
+                    == chunk["aabb_max"][g, a]).all()
+        # localized links: same-treelet targets keep DFS offsets, exits
+        # become the DONE sentinel
+        for o in (0, 3, 7):
+            for row, lk in ((0, succ), (1, skip)):
+                tgt = lk[o, g]
+                want = (tgt - roots[t]
+                        if tgt < n and tid[min(tgt, n - 1)] == t
+                        and tgt >= roots[t] else DONE)
+                assert links[o, t, row, 0, ll] == want
+        # counts: leaf tri counts, 0 on interior
+        cnt = chunk["count"][g] if chunk["first"][g] >= 0 else 0
+        assert links[0, t, 2, 0, ll] == cnt
+        # node-indexed MT rows carry the leaf's triangles
+        if chunk["first"][g] >= 0:
+            f = chunk["first"][g]
+            for k in range(int(cnt)):
+                for a in range(3):
+                    assert mt[t, k * 9 + a, ll] == chunk["v0"][f + k, a]
+                    assert mt[t, k * 9 + 3 + a, ll] == (
+                        chunk["e1"][f + k, a])
+                    assert mt[t, k * 9 + 6 + a, ll] == (
+                        chunk["e2"][f + k, a])
+                for p9 in range(9):
+                    assert mt[t, OFF_NRM_ROW + k * 9 + p9, ll] == (
+                        chunk["n_soa"][p9][f + k])
+
+
+def test_packed_anyhit_layout(chunk):
+    arrays, lay = pack_perlane_tables([chunk], normals=False)
+    assert lay[4] == ROWS_ANYHIT
+    assert arrays["mt"].shape[2] == ROWS_ANYHIT
+
+
+def test_dispatch_gating_off_tpu():
+    import jax
+
+    from raytpu.device_scene import SceneStatic
+    from raytpu.ops.trace import _use_perlane
+
+    static = SceneStatic(
+        mesh_prim_ranges=((0, 12),), instance_mesh=(0,),
+        mesh_node_ranges=((0, 3),), traversal="perlane",
+        perlane_layout=(8, 1, 1024, 1024, 80),
+    )
+    use = _use_perlane(static, 8, 1024)
+    assert use == (jax.default_backend() == "tpu")
+    # only the explicit knob dispatches while the tier is opt-in
+    import dataclasses
+
+    static2 = dataclasses.replace(static, traversal="auto")
+    assert not _use_perlane(static2, 8, 1024)

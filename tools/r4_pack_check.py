@@ -302,14 +302,14 @@ def main() -> int:
             "e2": e2a[ts:ts + tc], "n_soa": n_soa[:, ts:ts + tc],
         })
 
+    lay = static.perlane_layout
     arrays = {
-        "box": np.asarray(dev.pl_box),
-        "tid": np.asarray(dev.pl_tid),
+        "box": np.asarray(dev.pl_box).reshape(len(chunks), lay[2]),
+        "tid": np.asarray(dev.pl_tid).reshape(len(chunks), lay[3]),
         "planes": np.asarray(dev.pl_planes),
         "links": np.asarray(dev.pl_links),
         "mt": np.asarray(dev.pl_mt),
     }
-    lay = static.perlane_layout
     pad_nodes = lay[0]
 
     rng = np.random.RandomState(1)
