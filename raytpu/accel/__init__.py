@@ -289,7 +289,7 @@ def attach_bvh(
 def _perlane_wanted(cfg) -> bool:
     """Pack the per-lane tables only where the TPU-only tier can run (or
     is explicitly forced) — they cost HBM and build time."""
-    if cfg.traversal == "perlane":
+    if cfg.traversal in ("perlane", "hybrid"):
         return True
     if cfg.traversal != "auto":
         return False

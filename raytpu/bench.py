@@ -237,17 +237,19 @@ def bit_identity_check(
     highpoly_depth: int = 5,
 ) -> Dict:
     """TPU-only validation gate: render one low-res frame with the
-    megakernel (``traversal='mega'``) and with the chained per-chunk Pallas
-    kernels (``traversal='pallas'``, the reference implementation) and
-    compare EXACT bits — the CLAUDE.md invariant, automated (the analog of
-    the reference's always-on validation layers, ``src/main.cpp:813-848``).
+    megakernel (``traversal='mega'``) AND the two-level per-lane tier
+    (``traversal='perlane'``) against the chained per-chunk Pallas kernels
+    (``traversal='pallas'``, the reference implementation) and compare
+    EXACT bits — the CLAUDE.md invariant, automated (the analog of the
+    reference's always-on validation layers, ``src/main.cpp:813-848``).
 
-    Returns ``{"ok": bool, "n_diff": int, "max_abs_diff": float, ...}``;
-    ``{"skipped": ...}`` off-TPU (the mega path only exists compiled).
+    Returns ``{"ok": bool, "n_diff": int, "max_abs_diff": float, ...}``
+    (ok = every compared path matched); ``{"skipped": ...}`` off-TPU
+    (the mega/perlane paths only exist compiled).
 
     Known caveat (documented, not tested): on geometry with exactly
     coincident triangles visible through different instances/chunks, the
-    two paths' different visit orders (octant near-first + depth-sorted
+    paths' different visit orders (octant near-first + depth-sorted
     entries vs build order) may break strict-`<` ties differently; the
     preset scenes have no coincident geometry.
     """
@@ -258,29 +260,34 @@ def bit_identity_check(
     if jax.default_backend() != "tpu":
         return {"skipped": "mega path is TPU-only"}
     scene = load_preset_scene(preset, highpoly_depth=highpoly_depth)
-    scene.config = scene.config.replace(width=width, height=height)
+    scene.config = scene.config.replace(width=width, height=height,
+                                        traversal="perlane")
     renderer = Renderer(scene)
     renderer.set_transforms(0.0)
     rs = renderer.render_static
     cam = jnp.asarray(renderer.camera.basis())
+    modes = ["pallas", "mega"]
+    if renderer.static.perlane_layout is not None:
+        modes.append("perlane")
     imgs = {}
-    for mode in ("mega", "pallas"):
+    for mode in modes:
         static = dataclasses.replace(renderer.static, traversal=mode)
         imgs[mode] = np.asarray(
             render_frame(renderer.device_scene, static, rs, cam)
         )
-    diff = imgs["mega"] != imgs["pallas"]
-    n_diff = int(diff.sum())
-    return {
-        "ok": n_diff == 0,
-        "n_diff": n_diff,
-        "max_abs_diff": float(
-            np.abs(imgs["mega"] - imgs["pallas"]).max()
-        ),
-        "preset": preset,
-        "width": width,
-        "height": height,
-    }
+    out = {"preset": preset, "width": width, "height": height}
+    ok = True
+    for mode in modes[1:]:
+        diff = imgs[mode] != imgs["pallas"]
+        n_diff = int(diff.sum())
+        out[f"n_diff_{mode}"] = n_diff
+        out[f"max_abs_diff_{mode}"] = float(
+            np.abs(imgs[mode] - imgs["pallas"]).max()
+        )
+        ok = ok and n_diff == 0
+    out["ok"] = ok
+    out["n_diff"] = sum(out[f"n_diff_{m}"] for m in modes[1:])
+    return out
 
 
 def run_benchmark(

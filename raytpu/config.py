@@ -128,7 +128,9 @@ class RenderConfig:
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
     leaf_size: int = 4            # max triangles per BVH leaf
     bvh_builder: str = "auto"     # "auto" | "native" | "sah" | "median" | "lbvh"
-    # "auto" | "perlane" | "mega" | "xla" | "pallas" | "brute"
+    # "auto" | "hybrid" | "perlane" | "mega" | "xla" | "pallas" | "brute"
+    # ("hybrid": per-lane tier for the peeled primary sweeps, megakernel
+    # for bounce sweeps — see ops/trace.py:_use_perlane)
     traversal: str = "auto"
     dtype: str = "float32"
     devices: int = 1              # pixel-tile sharding degree (parallel/dist.py)

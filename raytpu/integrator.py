@@ -264,7 +264,8 @@ def _trace_sample(
         j, _, _, _, active, _, _ = state
         return (j <= rs.max_bounce_count) & jnp.any(active)  # inclusive :84
 
-    def bounce_core(o, d, tmp, active, miss_rec, miss_dir, decay_, sparse):
+    def bounce_core(o, d, tmp, active, miss_rec, miss_dir, decay_, sparse,
+                    tier="loop"):
         """One bounce iteration's work at the width of its inputs: closest
         trace, miss recording, shadow + Blinn-Phong, mirror/refract
         continuations. Per-lane results depend only on that lane's state,
@@ -273,7 +274,7 @@ def _trace_sample(
         pw, kw = o[0].shape
         lane_tmax = jnp.where(active, jnp.float32(RAY_TMAX), 0.0)
         hit = closest_hit_wave(scene, static, o, d, RAY_TMIN, lane_tmax,
-                               group=group, sparse=sparse)
+                               group=group, sparse=sparse, tier=tier)
         hit_mask = active & hit.is_hit
         miss_mask = active & ~hit.is_hit
 
@@ -307,6 +308,7 @@ def _trace_sample(
                 jnp.where(lit_candidate, light_dist, 0.0),
                 group=group,
                 sparse=rs.divergence,
+                tier=tier,
             )
 
         occluded = jax.lax.cond(
@@ -332,10 +334,10 @@ def _trace_sample(
         d = v3.where(cont, v3.where(is_mirror, d_m, d_r), d)
         return o, d, tmp, cont, miss_rec, miss_dir
 
-    def body(state, sparse=rs.divergence):
+    def body(state, sparse=rs.divergence, tier="loop"):
         j, o, d, tmp, active, miss_rec, miss_dir = state
         o, d, tmp, cont, miss_rec, miss_dir = bounce_core(
-            o, d, tmp, active, miss_rec, miss_dir, decay, sparse
+            o, d, tmp, active, miss_rec, miss_dir, decay, sparse, tier
         )
         return j + 1, o, d, tmp, cont, miss_rec, miss_dir
 
@@ -413,19 +415,23 @@ def _trace_sample(
         )
 
     # j=0 is peeled out of the loop when the loop body differs from the
-    # dense primary iteration (compact wavefront, or divergence scheduling
-    # that must not touch the tile-coherent primary sweep). If the whole
-    # wave is dead (sharded padding shards) the peeled sweeps see all-zero
-    # windows and cull everything — results are mask-identical to not
-    # running them. Otherwise the peel would only duplicate the sweep
-    # kernels in the executable, so the loop runs unpeeled.
-    # ("split_all" schedules the primary sweep too, so it never peels.)
-    peel = bool(budget) or rs.divergence == "sort" or (
+    # dense primary iteration (compact wavefront, divergence scheduling
+    # that must not touch the tile-coherent primary sweep, or the hybrid
+    # traversal tier routing the primary sweeps to the per-lane kernels).
+    # If the whole wave is dead (sharded padding shards) the peeled
+    # sweeps see all-zero windows and cull everything — results are
+    # mask-identical to not running them. Otherwise the peel would only
+    # duplicate the sweep kernels in the executable, so the loop runs
+    # unpeeled. ("split_all" schedules the primary sweep too, so it
+    # never peels.)
+    hybrid = static.traversal == "hybrid"
+    peel = bool(budget) or hybrid or rs.divergence == "sort" or (
         rs.divergence == "split" and group in (2, 4)
     )
     state0 = (jnp.int32(0), o, d, tmp, active0, miss_rec, miss_dir)
     if peel:
-        state0 = body(state0, sparse="off")
+        state0 = body(state0, sparse="off",
+                      tier="primary" if hybrid else "loop")
     _, _, _, tmp, _, miss_rec, miss_dir = jax.lax.while_loop(
         cond, body_compact if budget else body, state0
     )

@@ -21,11 +21,28 @@ module replaces the walk below a cut line with PER-LANE traversal:
 * leaf intersections are **deferred**: a lane reaching a leaf pushes the
   node id onto a 4-deep register queue and walks on; queues drain
   through node-indexed Moller-Trumbore tables (4 tri slots per leaf
-  node id — one gather per operand) when any lane's queue fills and at
-  treelet exit. Deferral is bit-exact: a test the eager walk would have
-  performed with a tighter ``best_t`` can only reject candidates that
-  lose anyway (strict ``t < best_t`` ordering over the same per-lane
-  DFS test sequence).
+  node id — one gather per operand) when its own queue fills (lanes
+  with full queues STALL while others walk on; the treelet drains when
+  no lane can advance) and at treelet exit. Deferral is bit-exact: a
+  test the eager walk would have performed with a tighter ``best_t``
+  can only reject candidates that lose anyway (strict ``t < best_t``
+  ordering over the same per-lane DFS test sequence).
+
+The interior step is gather-bound (~8 ns per 128-entry bank lookup), so
+the tables are packed to minimize lookups per step — 4 instead of 9:
+
+* **links**: succ | skip<<7 | cnt<<14 in ONE i32 word (ids <= 127 by
+  NODE_CAP, counts <= LEAF_UNROLL) — 1 gather + 3 cheap unpack ops;
+* **box planes**: per axis ONE i32 word = bf16(hi)<<16 | bf16(lo), with
+  lo rounded DOWN and hi rounded UP on the bf16 lattice (conservative
+  widening: a widened slab can only ADD node visits / leaf tests,
+  never lose a true hit). Unpack is exact and nearly free because
+  f32 bits of a bf16 value are its bits << 16: ``lo = bitcast(w << 16)``,
+  ``hi = bitcast(w & 0xffff0000)``. Leaf Moller-Trumbore corners stay
+  f32, so accepted hits are bit-identical; the only divergence class a
+  widened box can introduce is a leaf test the exact slab would have
+  culled whose triangle still intersects within float rounding of the
+  slab arithmetic — not observed on any preset (TPU bit-identity gate).
 
 Semantics match the chained reference kernels (``ops/traverse_pallas.py``)
 with the same caveats as ``ops/mega.py`` (tie order on coincident
@@ -129,6 +146,47 @@ def treelet_partition(
     return tid, nt
 
 
+def _bf16_down(x: np.ndarray) -> np.ndarray:
+    """Largest bf16 (as uint16 bits) <= x, elementwise (finite f32 in)."""
+    b = x.astype(np.float32).view(np.uint32)
+    t = (b >> 16).astype(np.uint32)
+    exact = (b & 0xFFFF) == 0
+    neg = (b & 0x80000000) != 0
+    # truncation moves toward zero: down for x>=0, up for x<0 — step one
+    # ulp (bits+1 increases magnitude) on inexact negatives
+    t = np.where(exact | ~neg, t, t + 1)
+    return t.astype(np.uint16)
+
+
+def _bf16_up(x: np.ndarray) -> np.ndarray:
+    """Smallest bf16 (as uint16 bits) >= x, elementwise (finite f32 in)."""
+    b = x.astype(np.float32).view(np.uint32)
+    t = (b >> 16).astype(np.uint32)
+    exact = (b & 0xFFFF) == 0
+    neg = (b & 0x80000000) != 0
+    t = np.where(exact | neg, t, t + 1)
+    return t.astype(np.uint16)
+
+
+def pack_box_word(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """One conservative i32 box word per axis: bf16(hi)<<16 | bf16(lo)."""
+    w = (_bf16_up(hi).astype(np.uint32) << 16) | _bf16_down(lo).astype(
+        np.uint32
+    )
+    return w.view(np.int32)
+
+
+def pack_link_word(
+    succ: np.ndarray, skip: np.ndarray, cnt: np.ndarray
+) -> np.ndarray:
+    """One i32 link word: succ | skip<<7 | cnt<<14."""
+    return (
+        succ.astype(np.int32)
+        | (skip.astype(np.int32) << 7)
+        | (cnt.astype(np.int32) << 14)
+    )
+
+
 def pack_perlane_tables(
     chunks, normals: bool = True
 ) -> Tuple[Dict[str, np.ndarray], Tuple[int, int, int, int, int]]:
@@ -145,10 +203,13 @@ def pack_perlane_tables(
       prefix, minus the tri/normal planes it never reads);
     * ``tid``  (C, tid_len) i32 — per-node site map: treelet id at each
       treelet ROOT, -1 elsewhere; last slot = node count (walk end);
-    * ``planes`` (C, t_pad, 6, 8, 128) f32 — per-treelet gather banks of
-      box planes by local node id (row-replicated across sublanes);
-    * ``links`` (C*8, t_pad, 3, 8, 128) i32 — per (chunk, octant):
-      sublane rows succ/skip (localized, ``DONE`` on exit) + tri count;
+    * ``planes`` (C, t_pad, 3, 8, 128) i32 — per-treelet gather banks of
+      PACKED box words by local node id (row-replicated across sublanes):
+      axis word = bf16(max)<<16 | bf16(min), conservatively rounded
+      (:func:`pack_box_word`);
+    * ``links`` (C*8, t_pad, 8, 128) i32 — per (chunk, octant): ONE
+      packed word succ | skip<<7 | cnt<<14 (localized, ``DONE`` on
+      exit; :func:`pack_link_word`);
     * ``mt``   (C, t_pad, rows_mt, 128) f32 — compact node-indexed
       Moller-Trumbore rows: slot k, coord c at row ``k*9+c`` (v0/e1/e2
       xyz), then normal rows at ``OFF_NRM_ROW + k*9 + c`` (closest set).
@@ -168,9 +229,13 @@ def pack_perlane_tables(
     cN = len(chunks)
     box = np.zeros((cN, box_len), np.float32)
     tidm = np.full((cN, tid_len), -1, np.int32)
-    planes = np.zeros((cN, t_pad, 6, 8, 128), np.float32)
-    links = np.full((cN, OCTANTS, t_pad, 3, 8, 128), DONE, np.int32)
-    links[:, :, :, 2] = 0                      # counts default 0
+    planes = np.zeros((cN, t_pad, 3, 8, 128), np.int32)
+    # default link word: succ=skip=DONE, cnt=0 (self-loop, never pushes)
+    links = np.full(
+        (cN, OCTANTS, t_pad, 8, 128),
+        int(pack_link_word(np.int32(DONE), np.int32(DONE), np.int32(0))),
+        np.int32,
+    )
     mt = np.zeros((cN, t_pad, rows_mt, 128), np.float32)
 
     for ci, c in enumerate(chunks):
@@ -199,8 +264,8 @@ def pack_perlane_tables(
         ll = ids[in_t] - root[tl]
         assert ll.max(initial=0) <= NODE_CAP - 1
         for a in range(3):
-            planes[ci, tl, a, :, ll] = c["aabb_min"][in_t, a][:, None]
-            planes[ci, tl, 3 + a, :, ll] = c["aabb_max"][in_t, a][:, None]
+            w = pack_box_word(c["aabb_min"][in_t, a], c["aabb_max"][in_t, a])
+            planes[ci, tl, a, :, ll] = w[:, None]
 
         succ, skip = octant_links(
             c["aabb_min"], c["aabb_max"], c["first"], c["miss"]
@@ -219,9 +284,9 @@ def pack_perlane_tables(
         kl = localize(skip)
         cnt = np.maximum(c["count"][in_t], 0) * (c["first"][in_t] >= 0)
         for o in range(OCTANTS):
-            links[ci, o, tl, 0, :, ll] = sl[o][:, None]
-            links[ci, o, tl, 1, :, ll] = kl[o][:, None]
-            links[ci, o, tl, 2, :, ll] = cnt[:, None]
+            links[ci, o, tl, :, ll] = pack_link_word(sl[o], kl[o], cnt)[
+                :, None
+            ]
 
         leaf = in_t & (c["first"] >= 0)
         tlf = tid[leaf]
@@ -250,7 +315,7 @@ def pack_perlane_tables(
         "box": box.reshape(-1),
         "tid": tidm.reshape(-1),
         "planes": planes,
-        "links": links.reshape(cN * OCTANTS, t_pad, 3, 8, 128),
+        "links": links.reshape(cN * OCTANTS, t_pad, 8, 128),
         "mt": mt,
     }
     return arrays, (pad_nodes, t_pad, box_len, tid_len, rows_mt)
@@ -272,11 +337,14 @@ def _row(mt_ref, site, row):
 
 
 def _tl_slab(pln_ref, site, nd, o, d_inv, tmin, tfar):
-    """Per-lane treelet slab test — formula identical to mega._slab_tab."""
+    """Per-lane treelet slab test against the PACKED conservative bf16
+    box words — formula matches mega._slab_tab on the widened planes.
+    Unpack is exact: f32 bits of a bf16 value are its bits << 16."""
     tns, tfs = [], []
     for a in range(3):
-        lo = _look(pln_ref[site, a], nd)
-        hi = _look(pln_ref[site, 3 + a], nd)
+        w = _look(pln_ref[site, a], nd)
+        lo = pltpu.bitcast(w << 16, jnp.float32)
+        hi = pltpu.bitcast(w & jnp.int32(-65536), jnp.float32)
         t0 = (lo - o[a]) * d_inv[a]
         t1 = (hi - o[a]) * d_inv[a]
         tns.append(jnp.minimum(t0, t1))
@@ -352,16 +420,22 @@ def _any_or(masks):
 OD_O, OD_D, OD_INV = 0, 3, 6
 
 
-def _tl_step(pln_ref, lnk_ref, site, lnode, bt, qs, qc, o, d_inv, tmin):
-    """One per-lane interior step: slab + leaf push + link follow."""
-    succ = _look(lnk_ref[site, 0], lnode)
-    skip = _look(lnk_ref[site, 1], lnode)
-    cnt = _look(lnk_ref[site, 2], lnode)
+def _tl_step(pln_ref, lnk_ref, site, lnode, bt, qs, qc, o, d_inv, tmin,
+             act):
+    """One per-lane interior step: slab + leaf push + link follow.
+
+    ``act`` gates the push and the pointer move: lanes whose queue is
+    full (or that finished) STALL — they keep gathering (harmless, the
+    vector op runs regardless) but neither push nor advance."""
+    word = _look(lnk_ref[site], lnode)
+    succ = word & jnp.int32(127)
+    skip = (word >> 7) & jnp.int32(127)
+    cnt = word >> 14
     box = _tl_slab(pln_ref, site, lnode, o, d_inv, tmin, bt)
     leaf = cnt > 0
-    push = box & leaf
+    push = act & box & leaf
     qs, qc = _queue_push(qs, qc, push, lnode)
-    lnode = jnp.where(box & ~leaf, succ, skip)
+    lnode = jnp.where(act, jnp.where(box & ~leaf, succ, skip), lnode)
     return lnode, qs, qc
 
 
@@ -429,7 +503,7 @@ def _walk_closest_perlane(
                 for j2 in range(1, QD):
                     qn = jnp.where(j == j2, qss[i][j2], qn)
                 occm = qcs[i] > j
-                cntq = _look(lnk_ref[site, 2], qn)
+                cntq = _look(lnk_ref[site], qn) >> 14
                 for k in range(LEAF_UNROLL):
                     t, u, v, hit = _mt_bank(mt_ref, site, k, qn, o, d,
                                             tmin, bt)
@@ -516,17 +590,21 @@ def _walk_closest_perlane(
 
             def step_cond(c2):
                 lnodes, qss, qcs = c2
-                act = _any_or([ln != DONE for ln in lnodes])
-                full = _any_or([qc >= QD for qc in qcs])
-                return act & ~full
+                # ONE vector->scalar sync: a lane advances while it has
+                # queue room; full-queue lanes stall instead of pausing
+                # the whole walk (fewer drain phases, fuller drains)
+                return _any_or([
+                    (lnodes[i] != DONE) & (qcs[i] < QD) for i in range(ns)
+                ])
 
             def step_body(c2):
                 lnodes, qss, qcs = c2
                 out_l, out_qs, out_qc = [], [], []
                 for i in range(ns):
+                    act = (lnodes[i] != DONE) & (qcs[i] < QD)
                     ln, qs, qc = _tl_step(
                         pln_ref, lnk_ref, site, lnodes[i], bt4[i],
-                        qss[i], qcs[i], o_of(i), inv_of(i), tmin,
+                        qss[i], qcs[i], o_of(i), inv_of(i), tmin, act,
                     )
                     out_l.append(ln)
                     out_qs.append(qs)
@@ -616,7 +694,7 @@ def _walk_anyhit_perlane(
                 for j2 in range(1, QD):
                     qn = jnp.where(j == j2, qss[i][j2], qn)
                 occm = qcs[i] > j
-                cntq = _look(lnk_ref[site, 2], qn)
+                cntq = _look(lnk_ref[site], qn) >> 14
                 for k in range(LEAF_UNROLL):
                     _, _, _, hit = _mt_bank(mt_ref, site, k, qn, o, d,
                                             tmin, wns[i])
@@ -648,18 +726,19 @@ def _walk_anyhit_perlane(
 
             def step_cond(c2):
                 lnodes, qss, qcs = c2
-                act = _any_or([ln != DONE for ln in lnodes])
-                full = _any_or([qc >= QD for qc in qcs])
-                return act & ~full
+                return _any_or([
+                    (lnodes[i] != DONE) & (qcs[i] < QD) for i in range(ns)
+                ])
 
             def step_body(c2):
                 lnodes, qss, qcs = c2
                 out_l, out_qs, out_qc = [], [], []
                 for i in range(ns):
+                    act = (lnodes[i] != DONE) & (qcs[i] < QD)
                     ln, qs, qc = _tl_step(
                         pln_ref, lnk_ref, site, lnodes[i],
                         pending_t(i, occs[i]), qss[i], qcs[i],
-                        o_of(i), inv_of(i), tmin,
+                        o_of(i), inv_of(i), tmin, act,
                     )
                     out_l.append(ln)
                     out_qs.append(qs)
@@ -908,8 +987,8 @@ def perlane_closest_sweep(
             pltpu.SMEM((oct_len,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((t_pad, 6, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((t_pad, 3, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM((t_pad, K_SUB, K_LANE), jnp.int32),
             pltpu.VMEM((t_pad, rows_mt, K_LANE), jnp.float32),
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, 9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
@@ -1135,8 +1214,8 @@ def perlane_anyhit_sweep(
             pltpu.SMEM((oct_len,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((t_pad, 6, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((t_pad, 3, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM((t_pad, K_SUB, K_LANE), jnp.int32),
             pltpu.VMEM((t_pad, rows_mt, K_LANE), jnp.float32),
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),

@@ -134,6 +134,9 @@ def closest_hit_wave(
     group: int = 1,     # spp-grouped consensus width (megakernel path)
     sparse: str = "off",  # divergence scheduling before the sweep
                           # (ops/rebin.py "split"/"sort"), mega path only
+    tier: str = "loop",   # "primary" (peeled j=0 sweep) | "loop":
+                          # traversal="hybrid" routes primary sweeps to
+                          # the per-lane tier, bounce sweeps to mega
 ) -> HitWave:
     """Packet-layout closest hit over all instances (the TPU hot path;
     per-packet consensus traversal, see ``ops/packet.py`` /
@@ -147,7 +150,7 @@ def closest_hit_wave(
 
     # two-level per-lane tier (ops/perlane.py): consensus top tree +
     # per-lane treelet walks — the fastest path where attached
-    if _use_perlane(static, p, k):
+    if _use_perlane(static, p, k, tier):
         from raytpu.ops.perlane import perlane_closest_sweep
         from raytpu.ops.traverse_pallas import (
             make_trace_state,
@@ -344,13 +347,14 @@ def any_hit_wave(
     sparse: str = "off",  # divergence scheduling (ops/rebin.py): shadow
                           # waves are sparse — "split" walks sub-tile
                           # packets, "sort" packs live lanes
+    tier: str = "loop",   # see closest_hit_wave
 ) -> jnp.ndarray:
     """Packet-layout occlusion query over all instances (component-SoA)."""
     from raytpu.ops import vec3 as v3
 
     p, k = o[0].shape
 
-    if _use_perlane(static, p, k):
+    if _use_perlane(static, p, k, tier):
         from raytpu.ops.perlane import perlane_anyhit_sweep
         from raytpu.ops.traverse_pallas import pack_rays
 
@@ -454,13 +458,22 @@ def any_hit_wave(
     return occluded
 
 
-def _use_perlane(static: SceneStatic, p: int, k: int) -> bool:
+def _use_perlane(static: SceneStatic, p: int, k: int,
+                 tier: str = "primary") -> bool:
     """Static dispatch to the two-level per-lane tier (TPU-only, like the
-    megakernel; forced with traversal='perlane' while it is opt-in)."""
+    megakernel): always under traversal='perlane'; for the PRIMARY
+    (peeled j=0) sweeps under traversal='hybrid' — per-lane walks win on
+    coherent full-width waves (measured 1.26-1.47x over the consensus
+    megakernel) but are ~neutral on scattered bounce waves, where the
+    per-treelet entry overhead dominates (docs/roadmap.md round-3b)."""
     from raytpu.ops.mega import BLOCK_PACKETS
     from raytpu.ops.traverse_pallas import PACKET_K
 
-    if static.traversal != "perlane":
+    if static.traversal == "perlane":
+        pass
+    elif static.traversal == "hybrid" and tier == "primary":
+        pass
+    else:
         return False
     if static.perlane_layout is None or not static.has_bvh:
         return False
@@ -480,7 +493,7 @@ def _use_mega(static: SceneStatic, p: int, k: int) -> bool:
     from raytpu.ops.mega import BLOCK_PACKETS
     from raytpu.ops.traverse_pallas import PACKET_K
 
-    if static.traversal not in ("auto", "mega"):
+    if static.traversal not in ("auto", "mega", "hybrid"):
         return False
     if static.mega_layout is None or not static.has_bvh:
         return False
@@ -499,7 +512,7 @@ def _all_pallas(static: SceneStatic, k: int) -> bool:
         # forced (interpret mode off-TPU); still needs a BVH and the
         # kernel's packet width
         return static.has_bvh and k == PACKET_K
-    if static.traversal != "auto" or not static.has_bvh:
+    if static.traversal not in ("auto", "hybrid") or not static.has_bvh:
         return False
     if k != PACKET_K or not static.mesh_pallas_ok:
         return False
@@ -517,7 +530,7 @@ def _use_pallas(static: SceneStatic, mesh_id: int, k: int) -> bool:
 
     if static.traversal == "pallas":
         return True  # forced (interpret-mode off-TPU)
-    if static.traversal != "auto":
+    if static.traversal not in ("auto", "hybrid"):
         return False
     if k != PACKET_K or not static.mesh_pallas_ok:
         return False

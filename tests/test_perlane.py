@@ -85,30 +85,45 @@ def test_packed_tables(chunk):
     succ, skip = octant_links(chunk["aabb_min"], chunk["aabb_max"],
                               chunk["first"], chunk["miss"])
     planes = arrays["planes"][0]
-    links = arrays["links"].reshape(1, 8, t_pad, 3, 8, 128)[0]
+    links = arrays["links"].reshape(1, 8, t_pad, 8, 128)[0]
     mt = arrays["mt"][0]
     ids = np.arange(n)
     in_t = tid < nt
+
+    def unpack_pln(w):
+        u = np.uint32(np.int64(w) & 0xFFFFFFFF)
+        lo = np.uint32(u << np.uint32(16)).view(np.float32)
+        hi = np.uint32(u & np.uint32(0xFFFF0000)).view(np.float32)
+        return float(lo), float(hi)
+
     for g in np.flatnonzero(in_t)[:: max(1, n // 64)]:
         t = tid[g]
         ll = g - roots[t]
-        # planes replicated across sublanes and equal to the node AABB
+        # packed planes replicated across sublanes; unpacked bf16 bounds
+        # are conservative (lo <= aabb_min, hi >= aabb_max) and within
+        # one bf16 ulp (~0.4%) of the f32 plane
         for a in range(3):
-            assert (planes[t, a, :, ll] == chunk["aabb_min"][g, a]).all()
-            assert (planes[t, 3 + a, :, ll]
-                    == chunk["aabb_max"][g, a]).all()
-        # localized links: same-treelet targets keep DFS offsets, exits
-        # become the DONE sentinel
+            w0 = planes[t, a, 0, ll]
+            assert (planes[t, a, :, ll] == w0).all()
+            lo, hi = unpack_pln(w0)
+            fmin = float(chunk["aabb_min"][g, a])
+            fmax = float(chunk["aabb_max"][g, a])
+            assert lo <= fmin and hi >= fmax
+            assert abs(lo - fmin) <= max(abs(fmin), 1e-30) * 0.01
+            assert abs(hi - fmax) <= max(abs(fmax), 1e-30) * 0.01
+        # localized links in ONE packed word: same-treelet targets keep
+        # DFS offsets, exits become the DONE sentinel
+        cnt = chunk["count"][g] if chunk["first"][g] >= 0 else 0
         for o in (0, 3, 7):
-            for row, lk in ((0, succ), (1, skip)):
+            word = int(links[o, t, 0, ll])
+            for shift, lk in ((0, succ), (7, skip)):
                 tgt = lk[o, g]
                 want = (tgt - roots[t]
                         if tgt < n and tid[min(tgt, n - 1)] == t
                         and tgt >= roots[t] else DONE)
-                assert links[o, t, row, 0, ll] == want
-        # counts: leaf tri counts, 0 on interior
-        cnt = chunk["count"][g] if chunk["first"][g] >= 0 else 0
-        assert links[0, t, 2, 0, ll] == cnt
+                assert (word >> shift) & 127 == want
+            assert word >> 14 == cnt
+            assert (links[o, t, :, ll] == word).all()
         # node-indexed MT rows carry the leaf's triangles
         if chunk["first"][g] >= 0:
             f = chunk["first"][g]
@@ -122,6 +137,39 @@ def test_packed_tables(chunk):
                 for p9 in range(9):
                     assert mt[t, OFF_NRM_ROW + k * 9 + p9, ll] == (
                         chunk["n_soa"][p9][f + k])
+
+
+def test_bf16_conservative_rounding():
+    """pack_box_word's bf16 lattice rounding: lo always rounds down, hi
+    always rounds up, exact bf16 values stay exact (both signs)."""
+    from raytpu.ops.perlane import _bf16_down, _bf16_up
+
+    rng = np.random.RandomState(7)
+    x = np.concatenate([
+        rng.randn(4096).astype(np.float32) * 10.0 ** rng.randint(
+            -20, 20, 4096),
+        np.float32([0.0, -0.0, 1.0, -1.0, 3.0, -3.0, 1e-38, -1e-38]),
+        # exact bf16 lattice points
+        (np.uint32(rng.randint(0, 0xFF80, 64, np.uint32) << 16)
+         ).view(np.float32),
+    ]).astype(np.float32)
+    x = x[np.isfinite(x)]
+
+    def to_f32(bits16):
+        return (bits16.astype(np.uint32) << 16).view(np.float32)
+
+    down = to_f32(_bf16_down(x))
+    up = to_f32(_bf16_up(x))
+    assert (down <= x).all(), "bf16_down must never exceed x"
+    assert (up >= x).all(), "bf16_up must never undercut x"
+    # tight: within one bf16 ulp (<= 2^-7 relative for normals)
+    fin = np.isfinite(down) & np.isfinite(up) & (np.abs(x) > 1e-30)
+    rel = (up[fin] - down[fin]) / np.abs(x[fin])
+    assert (rel <= 2.0 ** -6).all()
+    # exact lattice points stay exact
+    exact = (x.view(np.uint32) & 0xFFFF) == 0
+    assert (down[exact] == x[exact]).all()
+    assert (up[exact] == x[exact]).all()
 
 
 def test_packed_anyhit_layout(chunk):

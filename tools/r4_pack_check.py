@@ -137,6 +137,19 @@ def mt_banks(mt, tlid, k, qn, o3, d3, tmin, bt):
     return t, u, v, h
 
 
+def _unpack_pln(w):
+    """Packed box word -> (lo, hi) f32, exactly as the kernel unpacks."""
+    u = w.astype(np.int64).astype(np.uint32)    # two's complement bits
+    lo = (u << np.uint32(16)).astype(np.uint32).view(np.float32)
+    hi = (u & np.uint32(0xFFFF0000)).view(np.float32)
+    return lo, hi
+
+
+def _unpack_lnk(w):
+    """Packed link word -> (succ, skip, cnt)."""
+    return w & 127, (w >> 7) & 127, w >> 14
+
+
 def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
                   anyhit, win=None, normals=False):
     """The kernel algorithm on the PACKED tables (numpy lockstep)."""
@@ -144,9 +157,9 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
     tmin = 1e-3
     box = arrays["box"][ci]
     tidm = arrays["tid"][ci]
-    pln = arrays["planes"][ci, :, :, 0]          # (T, 6, 128) de-replicated
-    lnk = arrays["links"].reshape(-1, 8, t_pad, 3, 8, 128)[
-        ci, oct_id, :, :, 0]                     # (T, 3, 128)
+    pln = arrays["planes"][ci, :, :, 0]          # (T, 3, 128) packed words
+    lnk = arrays["links"].reshape(-1, 8, t_pad, 8, 128)[
+        ci, oct_id, :, 0]                        # (T, 128) packed words
     mt = arrays["mt"][ci]                        # (T, rows, 128)
     end = tidm[tid_len - 1]
     L = o3.shape[1]
@@ -175,7 +188,7 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
         for j in range(QD):
             qn = qs[j]
             occm = qc > j
-            cntq = lnk[site, 2, qn]
+            cntq = _unpack_lnk(lnk[site, qn])[2]
             improved = np.zeros(L, bool)
             ju = np.zeros(L, np.float32)
             jv = np.zeros(L, np.float32)
@@ -223,28 +236,30 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
             qs = [np.zeros(L, np.int64) for _ in range(QD)]
             qc = np.zeros(L, np.int64)
             while (lnode != DONE).any() or (qc > 0).any():
-                while (lnode != DONE).any() and not (qc >= QD).any():
+                while ((lnode != DONE) & (qc < QD)).any():
+                    # per-lane stall scheduling: full-queue lanes hold
+                    act = (lnode != DONE) & (qc < QD)
                     nd = lnode
-                    sc = lnk[site, 0, nd]
-                    sk = lnk[site, 1, nd]
-                    cnt = lnk[site, 2, nd]
+                    sc, sk, cnt = _unpack_lnk(lnk[site, nd])
                     eff = (np.where(live0 & (occ == 0), win, 0.0)
                            if anyhit else bt)
                     with np.errstate(invalid="ignore"):
                         tn = np.full(L, tmin, np.float32)
                         tf = eff.copy().astype(np.float32)
                         for a in range(3):
-                            t0 = (pln[site, a, nd] - o3[a]) * inv3[a]
-                            t1 = (pln[site, 3 + a, nd] - o3[a]) * inv3[a]
+                            lo, hi = _unpack_pln(pln[site, a, nd])
+                            t0 = (lo - o3[a]) * inv3[a]
+                            t1 = (hi - o3[a]) * inv3[a]
                             tn = np.maximum(tn, np.minimum(t0, t1))
                             tf = np.minimum(tf, np.maximum(t0, t1))
                     bx = tn <= tf
                     leaf = cnt > 0
-                    push = bx & leaf
+                    push = act & bx & leaf
                     for j in range(QD):
                         qs[j] = np.where(push & (qc == j), nd, qs[j])
                     qc = qc + push
-                    lnode = np.where(bx & ~leaf, sc, sk)
+                    lnode = np.where(act, np.where(bx & ~leaf, sc, sk),
+                                     lnode)
                 eff_win = (np.where(live0 & (occ == 0), win, 0.0)
                            if anyhit else None)
                 drain(site, qs, qc, eff_win)
