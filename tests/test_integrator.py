@@ -193,6 +193,26 @@ def test_ray_chunking_equivalent(resources_dir):
     np.testing.assert_allclose(img_full, img_chunked, atol=1e-6)
 
 
+def test_hybrid_traversal_matches_auto(resources_dir):
+    """traversal='hybrid' (per-lane primary + mega bounce tier split on
+    TPU) must render bit-identically to 'auto' — off-TPU both fall back
+    to the same chained/packet path, pinning the dispatch plumbing and
+    the peeled-primary iteration (ops/trace.py:_use_perlane)."""
+    objects = [
+        ObjectConfig(f"{resources_dir}/cube.obj", MaterialType.MIRROR,
+                     "static"),
+        ObjectConfig(f"{resources_dir}/cube.obj", MaterialType.DIFFUSE,
+                     "orbit"),
+    ]
+    base, _, _ = _scene_and_oracle(resources_dir, objects, spp=2,
+                                   max_bounces=2, size=16)
+    img_auto = base.render_np()
+    hyb, _, _ = _scene_and_oracle(resources_dir, objects, spp=2,
+                                  max_bounces=2, size=16)
+    hyb.static = dataclasses.replace(hyb.static, traversal="hybrid")
+    np.testing.assert_array_equal(img_auto, hyb.render_np())
+
+
 def test_validation_jit_guard_fires(resources_dir, monkeypatch, capsys):
     """RenderConfig.validation=True plants in-jit NaN guards that report
     through an ordered debug callback when non-finite state appears."""
