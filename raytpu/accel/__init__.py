@@ -253,6 +253,7 @@ def attach_bvh(
         dev = dev._replace(
             pl_box=jnp.asarray(tabs["box"]),
             pl_tid=jnp.asarray(tabs["tid"]),
+            pl_qsc=jnp.asarray(tabs["qsc"]),
             pl_planes=jnp.asarray(tabs["planes"]),
             pl_links=jnp.asarray(tabs["links"]),
             pl_mt=jnp.asarray(tabs["mt"]),
@@ -264,6 +265,7 @@ def attach_bvh(
             dev = dev._replace(
                 pl_sh_box=jnp.asarray(sh_tabs["box"]),
                 pl_sh_tid=jnp.asarray(sh_tabs["tid"]),
+                pl_sh_qsc=jnp.asarray(sh_tabs["qsc"]),
                 pl_sh_planes=jnp.asarray(sh_tabs["planes"]),
                 pl_sh_links=jnp.asarray(sh_tabs["links"]),
                 pl_sh_mt=jnp.asarray(sh_tabs["mt"]),

@@ -105,13 +105,17 @@ class DeviceScene(NamedTuple):
     # ordering tables are shared with the mega path (same chunk sets)
     pl_box: Optional[jnp.ndarray] = None     # (C, box_len) f32
     pl_tid: Optional[jnp.ndarray] = None     # (C, tid_len) i32
-    # planes: packed conservative bf16 box words (hi<<16 | lo) per axis;
-    # links: packed succ | skip<<7 | cnt<<14 words (ops/perlane.py)
+    # planes: packed 16-bit quantized box words (q_hi<<16 | q_lo) per
+    # axis on the treelet-root grid; qsc: per-site (origin, scale)
+    # dequant scalars; links: packed succ | skip<<7 | cnt<<14 words
+    # (ops/perlane.py)
     pl_planes: Optional[jnp.ndarray] = None  # (C, T, 3, 8, 128) i32
+    pl_qsc: Optional[jnp.ndarray] = None     # (C * qsc_len,) f32
     pl_links: Optional[jnp.ndarray] = None   # (C*8, T, 8, 128) i32
     pl_mt: Optional[jnp.ndarray] = None      # (C, T, rows, 128) f32
     pl_sh_box: Optional[jnp.ndarray] = None
     pl_sh_tid: Optional[jnp.ndarray] = None
+    pl_sh_qsc: Optional[jnp.ndarray] = None
     pl_sh_planes: Optional[jnp.ndarray] = None
     pl_sh_links: Optional[jnp.ndarray] = None
     pl_sh_mt: Optional[jnp.ndarray] = None

@@ -33,16 +33,21 @@ the tables are packed to minimize lookups per step — 4 instead of 9:
 
 * **links**: succ | skip<<7 | cnt<<14 in ONE i32 word (ids <= 127 by
   NODE_CAP, counts <= LEAF_UNROLL) — 1 gather + 3 cheap unpack ops;
-* **box planes**: per axis ONE i32 word = bf16(hi)<<16 | bf16(lo), with
-  lo rounded DOWN and hi rounded UP on the bf16 lattice (conservative
-  widening: a widened slab can only ADD node visits / leaf tests,
-  never lose a true hit). Unpack is exact and nearly free because
-  f32 bits of a bf16 value are its bits << 16: ``lo = bitcast(w << 16)``,
-  ``hi = bitcast(w & 0xffff0000)``. Leaf Moller-Trumbore corners stay
-  f32, so accepted hits are bit-identical; the only divergence class a
-  widened box can introduce is a leaf test the exact slab would have
-  culled whose triangle still intersects within float rounding of the
-  slab arithmetic — not observed on any preset (TPU bit-identity gate).
+* **box planes**: per axis ONE i32 word = q_hi<<16 | q_lo, 16-bit
+  quantized on the TREELET ROOT box grid (per-site scalars (origin,
+  scale) dequantize as ``origin + q * scale``; q_lo floor-rounded,
+  q_hi ceil-rounded, host-verified conservative under both mul+add and
+  fma orderings). The widened slab can only ADD node visits / leaf
+  tests, never lose a true hit, and the slack is ~2^-16 of the treelet
+  extent — measured-negligible extra visits. (A bf16-packed variant was
+  measured FIRST and REJECTED: bf16's absolute ulp at armadillo-scale
+  coordinates widened leaf-size boxes by ~60% linear, inflating visits
+  enough to regress config4 163.7 -> 168.2 ms despite 4-vs-9 gathers.)
+  Leaf Moller-Trumbore corners stay f32, so accepted hits are
+  bit-identical; the only divergence class a widened box can introduce
+  is a leaf test the exact slab would have culled whose triangle still
+  intersects within float rounding of the slab arithmetic — not
+  observed on any preset (TPU bit-identity gate).
 
 Semantics match the chained reference kernels (``ops/traverse_pallas.py``)
 with the same caveats as ``ops/mega.py`` (tie order on coincident
@@ -146,34 +151,68 @@ def treelet_partition(
     return tid, nt
 
 
-def _bf16_down(x: np.ndarray) -> np.ndarray:
-    """Largest bf16 (as uint16 bits) <= x, elementwise (finite f32 in)."""
-    b = x.astype(np.float32).view(np.uint32)
-    t = (b >> 16).astype(np.uint32)
-    exact = (b & 0xFFFF) == 0
-    neg = (b & 0x80000000) != 0
-    # truncation moves toward zero: down for x>=0, up for x<0 — step one
-    # ulp (bits+1 increases magnitude) on inexact negatives
-    t = np.where(exact | ~neg, t, t + 1)
-    return t.astype(np.uint16)
+def _dequant_both(q: np.ndarray, org: np.float32, scale: np.float32):
+    """The two f32 roundings the kernel's ``org + q*scale`` may compile
+    to: separate mul+add, and fused multiply-add (q*scale is exact in
+    f64 for 16x24-bit operands, so f64-accumulate-then-round == fma)."""
+    qf = q.astype(np.float32)
+    mul_add = (qf * np.float32(scale)).astype(np.float32) + np.float32(org)
+    fma = (
+        q.astype(np.float64) * np.float64(scale) + np.float64(org)
+    ).astype(np.float32)
+    return mul_add.astype(np.float32), fma
 
 
-def _bf16_up(x: np.ndarray) -> np.ndarray:
-    """Smallest bf16 (as uint16 bits) >= x, elementwise (finite f32 in)."""
-    b = x.astype(np.float32).view(np.uint32)
-    t = (b >> 16).astype(np.uint32)
-    exact = (b & 0xFFFF) == 0
-    neg = (b & 0x80000000) != 0
-    t = np.where(exact | neg, t, t + 1)
-    return t.astype(np.uint16)
-
-
-def pack_box_word(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    """One conservative i32 box word per axis: bf16(hi)<<16 | bf16(lo)."""
-    w = (_bf16_up(hi).astype(np.uint32) << 16) | _bf16_down(lo).astype(
-        np.uint32
-    )
-    return w.view(np.int32)
+def quantize_axis(
+    lo: np.ndarray, hi: np.ndarray, org: float, ext: float
+) -> Tuple[np.ndarray, np.ndarray, np.float32]:
+    """Conservative 16-bit quantization of node slab planes onto the
+    treelet-root grid ``org + q * scale``: dequantized lo never exceeds
+    the true lo, dequantized hi never undercuts the true hi, under BOTH
+    kernel rounding orders. Slack is <= ~2 grid steps = 2^-15 of the
+    treelet extent."""
+    org = np.float32(org)
+    scale = np.float32(np.float32(ext) / np.float32(65535.0))
+    if not np.isfinite(scale) or scale <= 0.0:
+        scale = np.float32(0.0)
+        n = lo.shape[0]
+        return (np.zeros(n, np.int64), np.zeros(n, np.int64), scale)
+    inv = 1.0 / np.float64(scale)
+    q_lo = np.clip(np.floor((lo.astype(np.float64) - np.float64(org))
+                            * inv), 0, 65535).astype(np.int64)
+    q_hi = np.clip(np.ceil((hi.astype(np.float64) - np.float64(org))
+                           * inv), 0, 65535).astype(np.int64)
+    for _ in range(4):  # fix-up: conservatism under both roundings
+        a, b = _dequant_both(q_lo, org, scale)
+        bad = (a > lo) | (b > lo)
+        if not bad.any():
+            break
+        q_lo = np.where(bad & (q_lo > 0), q_lo - 1, q_lo)
+    a, b = _dequant_both(q_lo, org, scale)
+    assert ((a <= lo) & (b <= lo)).all(), "lo quantization not conservative"
+    for _ in range(8):
+        a, b = _dequant_both(q_hi, org, scale)
+        bad = (a < hi) | (b < hi)
+        if not bad.any():
+            break
+        if (bad & (q_hi >= 65535)).any():
+            # grid top cannot reach hi (rounding): stretch the grid a notch
+            scale = np.float32(np.nextafter(scale, np.float32(np.inf)))
+            continue
+        q_hi = np.where(bad, q_hi + 1, q_hi)
+    a, b = _dequant_both(q_hi, org, scale)
+    assert ((a >= hi) & (b >= hi)).all(), "hi quantization not conservative"
+    # scale may have stretched: re-verify lo side (dequant only grew for
+    # positive q... not guaranteed for negative org — just re-fix)
+    for _ in range(4):
+        a, b = _dequant_both(q_lo, org, scale)
+        bad = (a > lo) | (b > lo)
+        if not bad.any():
+            break
+        q_lo = np.where(bad & (q_lo > 0), q_lo - 1, q_lo)
+    a, b = _dequant_both(q_lo, org, scale)
+    assert ((a <= lo) & (b <= lo)).all()
+    return q_lo, q_hi, scale
 
 
 def pack_link_word(
@@ -205,8 +244,10 @@ def pack_perlane_tables(
       treelet ROOT, -1 elsewhere; last slot = node count (walk end);
     * ``planes`` (C, t_pad, 3, 8, 128) i32 — per-treelet gather banks of
       PACKED box words by local node id (row-replicated across sublanes):
-      axis word = bf16(max)<<16 | bf16(min), conservatively rounded
-      (:func:`pack_box_word`);
+      axis word = q_hi<<16 | q_lo, 16-bit conservative quantization on
+      the treelet-root grid (:func:`quantize_axis`);
+    * ``qsc`` (C, qsc_len) f32 — per-site dequantization scalars, laid
+      out ``site*8 + 2*axis`` = grid origin, ``+1`` = grid scale (SMEM);
     * ``links`` (C*8, t_pad, 8, 128) i32 — per (chunk, octant): ONE
       packed word succ | skip<<7 | cnt<<14 (localized, ``DONE`` on
       exit; :func:`pack_link_word`);
@@ -227,8 +268,10 @@ def pack_perlane_tables(
         t_pad = max(t_pad, nt)
 
     cN = len(chunks)
+    qsc_len = _align(t_pad * 8)
     box = np.zeros((cN, box_len), np.float32)
     tidm = np.full((cN, tid_len), -1, np.int32)
+    qsc = np.zeros((cN, qsc_len), np.float32)
     planes = np.zeros((cN, t_pad, 3, 8, 128), np.int32)
     # default link word: succ=skip=DONE, cnt=0 (self-loop, never pushes)
     links = np.full(
@@ -263,9 +306,26 @@ def pack_perlane_tables(
         tl = tid[in_t]
         ll = ids[in_t] - root[tl]
         assert ll.max(initial=0) <= NODE_CAP - 1
-        for a in range(3):
-            w = pack_box_word(c["aabb_min"][in_t, a], c["aabb_max"][in_t, a])
-            planes[ci, tl, a, :, ll] = w[:, None]
+        for t in range(nt):
+            sel = tid == t
+            rt = root[t]
+            llt = ids[sel] - rt
+            for a in range(3):
+                org = float(c["aabb_min"][rt, a])
+                ext = float(
+                    np.float64(c["aabb_max"][rt, a]) - np.float64(org)
+                )
+                q_lo, q_hi, scale = quantize_axis(
+                    c["aabb_min"][sel, a], c["aabb_max"][sel, a], org, ext
+                )
+                w = ((q_hi.astype(np.int64) << 16)
+                     | q_lo.astype(np.int64)).astype(np.uint32).view(
+                         np.int32)
+                # indexed target is (len, 8) (advanced dims first):
+                # broadcast the words across the 8 sublanes
+                planes[ci, t, a, :, llt] = w[:, None]
+                qsc[ci, t * 8 + 2 * a] = np.float32(org)
+                qsc[ci, t * 8 + 2 * a + 1] = scale
 
         succ, skip = octant_links(
             c["aabb_min"], c["aabb_max"], c["first"], c["miss"]
@@ -314,11 +374,12 @@ def pack_perlane_tables(
         # mismatch); the kernels slice these with pl.ds like ops/mega.py
         "box": box.reshape(-1),
         "tid": tidm.reshape(-1),
+        "qsc": qsc.reshape(-1),
         "planes": planes,
         "links": links.reshape(cN * OCTANTS, t_pad, 8, 128),
         "mt": mt,
     }
-    return arrays, (pad_nodes, t_pad, box_len, tid_len, rows_mt)
+    return arrays, (pad_nodes, t_pad, box_len, tid_len, rows_mt, qsc_len)
 
 
 # ---------------------------------------------------------------------------
@@ -336,15 +397,18 @@ def _row(mt_ref, site, row):
     return jnp.broadcast_to(mt_ref[site, row].reshape(1, 128), (8, 128))
 
 
-def _tl_slab(pln_ref, site, nd, o, d_inv, tmin, tfar):
-    """Per-lane treelet slab test against the PACKED conservative bf16
-    box words — formula matches mega._slab_tab on the widened planes.
-    Unpack is exact: f32 bits of a bf16 value are its bits << 16."""
+def _tl_slab(pln_ref, qs6, site, nd, o, d_inv, tmin, tfar):
+    """Per-lane treelet slab test against the PACKED quantized box words
+    — formula matches mega._slab_tab on the (conservatively widened)
+    dequantized planes ``origin + q * scale`` (``qs6`` = the site's 3x
+    (origin, scale) scalars)."""
     tns, tfs = [], []
     for a in range(3):
         w = _look(pln_ref[site, a], nd)
-        lo = pltpu.bitcast(w << 16, jnp.float32)
-        hi = pltpu.bitcast(w & jnp.int32(-65536), jnp.float32)
+        q_lo = (w & jnp.int32(0xFFFF)).astype(jnp.float32)
+        q_hi = ((w >> 16) & jnp.int32(0xFFFF)).astype(jnp.float32)
+        lo = qs6[2 * a] + q_lo * qs6[2 * a + 1]
+        hi = qs6[2 * a] + q_hi * qs6[2 * a + 1]
         t0 = (lo - o[a]) * d_inv[a]
         t1 = (hi - o[a]) * d_inv[a]
         tns.append(jnp.minimum(t0, t1))
@@ -420,8 +484,8 @@ def _any_or(masks):
 OD_O, OD_D, OD_INV = 0, 3, 6
 
 
-def _tl_step(pln_ref, lnk_ref, site, lnode, bt, qs, qc, o, d_inv, tmin,
-             act):
+def _tl_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
+             tmin, act):
     """One per-lane interior step: slab + leaf push + link follow.
 
     ``act`` gates the push and the pointer move: lanes whose queue is
@@ -431,7 +495,7 @@ def _tl_step(pln_ref, lnk_ref, site, lnode, bt, qs, qc, o, d_inv, tmin,
     succ = word & jnp.int32(127)
     skip = (word >> 7) & jnp.int32(127)
     cnt = word >> 14
-    box = _tl_slab(pln_ref, site, lnode, o, d_inv, tmin, bt)
+    box = _tl_slab(pln_ref, qs6, site, lnode, o, d_inv, tmin, bt)
     leaf = cnt > 0
     push = act & box & leaf
     qs, qc = _queue_push(qs, qc, push, lnode)
@@ -439,18 +503,28 @@ def _tl_step(pln_ref, lnk_ref, site, lnode, bt, qs, qc, o, d_inv, tmin,
     return lnode, qs, qc
 
 
+# win_ref scratch plane layout: per-lane winner bookkeeping accumulated
+# across a treelet site's drains — the expensive normal interpolation +
+# state commit runs ONCE per improved site (at treelet exit), not once
+# per improved drain (sites average several drains; the interp is 36
+# gathers + the world transform per slice)
+WIN_Q, WIN_K, WIN_U, WIN_V, WIN_IMP = 0, 1, 2, 3, 4
+
+
 def _walk_closest_perlane(
-    boxf, tidm, tabo, pln_ref, lnk_ref, mt_ref, od_ref, st_buf, slot,
-    pks, m, matid, instid, pn, tid_len, tmin,
+    boxf, tidm, tabo, qsc_ref, pln_ref, lnk_ref, mt_ref, od_ref, win_ref,
+    st_buf, slot, pks, m, matid, instid, pn, tid_len, tmin,
 ):
     """Two-level closest walk of ``len(pks)`` single-packet slices.
 
     Top-tree consensus against the SMEM box planes; treelets per-lane via
     the VMEM gather banks with deferred-leaf drains. Only the per-lane
     ``best_t`` lives in the loop carries: rays come from the ``od_ref``
-    scratch planes and drains commit winners (t, u, v, world normal, mat,
-    inst) STRAIGHT into the state buffer under a ``pl.when`` — the merge
-    phase of the consensus kernel happens incrementally here.
+    scratch planes, drains park winners (leaf node id, slot, u, v) in the
+    ``win_ref`` scratch planes, and each treelet exit commits its site's
+    winners (interpolated object normal -> instance inverse-transpose ->
+    state buffer, ``src/shader.rchit:93-94``) under a ``pl.when`` — the
+    merge phase of the consensus kernel happens incrementally here.
     """
     end = tidm[tid_len - 1]
     ns = len(pks)
@@ -520,19 +594,48 @@ def _walk_closest_perlane(
 
         _, bt4, accs = jax.lax.while_loop(cond, body, init)
         for i in range(ns):
-            _commit(site, i, bt4[i], accs[i])
+            _park_win(i, accs[i])
         return bt4
 
-    def _commit(site, i, bt, acc):
+    def _park_win(i, acc):
+        """Merge one drain's winners into the win scratch planes (cheap:
+        5 read-select-writes) — the interp/commit waits for site exit."""
         win_q, win_k, ju, jv, improved_i = acc
         improved = improved_i != 0
         pk = pks[i]
 
         @pl.when(jnp.any(improved))
         def _():
-            # one interpolation for the drain's final winner (object
-            # space), then the instance inverse-transpose into world
-            # space (src/shader.rchit:93-94) and the state commit
+            win_ref[WIN_Q, pk] = f32bits(
+                jnp.where(improved, win_q, i32bits(win_ref[WIN_Q, pk]))
+            )
+            win_ref[WIN_K, pk] = f32bits(
+                jnp.where(improved, win_k, i32bits(win_ref[WIN_K, pk]))
+            )
+            win_ref[WIN_U, pk] = jnp.where(improved, ju,
+                                           win_ref[WIN_U, pk])
+            win_ref[WIN_V, pk] = jnp.where(improved, jv,
+                                           win_ref[WIN_V, pk])
+            win_ref[WIN_IMP, pk] = f32bits(
+                i32bits(win_ref[WIN_IMP, pk]) | improved_i
+            )
+
+    def _commit_site(site, i, bt):
+        """Commit a site's accumulated winners: one interpolation for the
+        site's final winner per lane (object space), the instance
+        inverse-transpose into world space (src/shader.rchit:93-94), and
+        the state write. Runs once per (site, slice) with any winner."""
+        pk = pks[i]
+        improved = i32bits(win_ref[WIN_IMP, pk]) != 0
+
+        @pl.when(jnp.any(improved))
+        def _():
+            # non-improved lanes carry unwritten scratch: clamp the bank
+            # index into range (their interp results are masked out)
+            win_q = i32bits(win_ref[WIN_Q, pk]) & jnp.int32(127)
+            win_k = i32bits(win_ref[WIN_K, pk])
+            ju = win_ref[WIN_U, pk]
+            jv = win_ref[WIN_V, pk]
             vals = [
                 _interp_bank(mt_ref, site, k, win_q, ju, jv)
                 for k in range(LEAF_UNROLL)
@@ -569,9 +672,10 @@ def _walk_closest_perlane(
             st_buf[slot, ST_V, pk] = jnp.where(
                 improved, jv, st_buf[slot, ST_V, pk])
             st_buf[slot, ST_T, pk] = bt
-        return bt
+            win_ref[WIN_IMP, pk] = f32bits(jnp.zeros_like(win_q))
 
     def treelet_walk(site, enter4, bt4):
+        qs6 = [qsc_ref[site * 8 + i] for i in range(6)]
         lnodes = tuple(
             jnp.where(enter4[i], jnp.int32(0), DONE) for i in range(ns)
         )
@@ -603,7 +707,7 @@ def _walk_closest_perlane(
                 for i in range(ns):
                     act = (lnodes[i] != DONE) & (qcs[i] < QD)
                     ln, qs, qc = _tl_step(
-                        pln_ref, lnk_ref, site, lnodes[i], bt4[i],
+                        pln_ref, lnk_ref, qs6, site, lnodes[i], bt4[i],
                         qss[i], qcs[i], o_of(i), inv_of(i), tmin, act,
                     )
                     out_l.append(ln)
@@ -622,6 +726,8 @@ def _walk_closest_perlane(
         _, _, _, bt4 = jax.lax.while_loop(
             phase_cond, phase_body, (lnodes, qss, qcs, bt4)
         )
+        for i in range(ns):
+            _commit_site(site, i, bt4[i])
         return bt4
 
     def top_cond(c):
@@ -646,7 +752,7 @@ def _walk_closest_perlane(
 
 
 def _walk_anyhit_perlane(
-    boxf, tidm, tabo, pln_ref, lnk_ref, mt_ref, od_ref,
+    boxf, tidm, tabo, qsc_ref, pln_ref, lnk_ref, mt_ref, od_ref,
     pks, tmaxs, occ0s, pn, tid_len, tmin,
 ):
     """Two-level occlusion walk; returns the occlusion mask per slice."""
@@ -708,6 +814,7 @@ def _walk_anyhit_perlane(
         return occs
 
     def treelet_walk(site, enter4, occs):
+        qs6 = [qsc_ref[site * 8 + i] for i in range(6)]
         lnodes = tuple(
             jnp.where(enter4[i], jnp.int32(0), DONE) for i in range(ns)
         )
@@ -736,7 +843,7 @@ def _walk_anyhit_perlane(
                 for i in range(ns):
                     act = (lnodes[i] != DONE) & (qcs[i] < QD)
                     ln, qs, qc = _tl_step(
-                        pln_ref, lnk_ref, site, lnodes[i],
+                        pln_ref, lnk_ref, qs6, site, lnodes[i],
                         pending_t(i, occs[i]), qss[i], qcs[i],
                         o_of(i), inv_of(i), tmin, act,
                     )
@@ -798,15 +905,15 @@ def _walk_anyhit_perlane(
 def _perlane_closest_kernel(
     bits_ref, octs_ref,
     meshof_ref, w2o_ref, matid_ref, instid_ref,
-    box_hbm, tid_hbm, oct_hbm, pln_hbm, lnk_hbm, mt_hbm,
+    box_hbm, tid_hbm, qsc_hbm, oct_hbm, pln_hbm, lnk_hbm, mt_hbm,
     rays_hbm, st_hbm,
     st_out,
-    boxf, tidm, tabo, cur_mesh, pend_blk,
-    pln_v, lnk_v, mt_v, ray_buf, st_buf, od_buf,
+    boxf, tidm, qscm, tabo, cur_mesh, pend_blk,
+    pln_v, lnk_v, mt_v, ray_buf, st_buf, od_buf, win_buf,
     sem_tab, sem_oct, sem_in, sem_out,
     *,
-    tmin: float, pn: int, box_len: int, tid_len: int, oct_len: int,
-    num_blocks: int,
+    tmin: float, pn: int, box_len: int, tid_len: int, qsc_len: int,
+    oct_len: int, num_blocks: int,
 ):
     e = pl.program_id(0)
     num_e = pl.num_programs(0)
@@ -835,6 +942,9 @@ def _perlane_closest_kernel(
                 pltpu.make_async_copy(
                     tid_hbm.at[pl.ds(mesh * tid_len, tid_len)], tidm,
                     sem_tab.at[1]),
+                pltpu.make_async_copy(
+                    qsc_hbm.at[pl.ds(mesh * qsc_len, qsc_len)], qscm,
+                    sem_tab.at[4]),
                 pltpu.make_async_copy(pln_hbm.at[mesh], pln_v,
                                       sem_tab.at[2]),
                 pltpu.make_async_copy(mt_hbm.at[mesh], mt_v,
@@ -893,7 +1003,9 @@ def _perlane_closest_kernel(
         din.wait()
         dst.wait()
 
-        # transformed rays -> od scratch once per (entry, block)
+        # transformed rays -> od scratch once per (entry, block); winner
+        # flags cleared (the other win planes are lazily initialized —
+        # reads are gated per lane by the flag)
         for pk in range(bp):
             ow = [ray_buf[slot, c, pk] for c in range(3)]
             dw = [ray_buf[slot, 3 + c, pk] for c in range(3)]
@@ -903,12 +1015,13 @@ def _perlane_closest_kernel(
                 od_buf[OD_O + a, pk] = o[a]
                 od_buf[OD_D + a, pk] = dd[a]
                 od_buf[OD_INV + a, pk] = iv[a]
+            win_buf[WIN_IMP, pk] = jnp.zeros((K_SUB, K_LANE), jnp.float32)
 
         for g0 in range(0, bp, W_PK):
             _walk_closest_perlane(
-                boxf, tidm, tabo, pln_v, lnk_v, mt_v, od_buf, st_buf,
-                slot, list(range(g0, g0 + W_PK)), m, matid, instid,
-                pn, tid_len, tmin,
+                boxf, tidm, tabo, qscm, pln_v, lnk_v, mt_v, od_buf,
+                win_buf, st_buf, slot, list(range(g0, g0 + W_PK)), m,
+                matid, instid, pn, tid_len, tmin,
             )
 
         pltpu.make_async_copy(
@@ -941,7 +1054,7 @@ def perlane_closest_sweep(
     """One full closest-hit sweep via the two-level per-lane kernel."""
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
-    pn, t_pad, box_len, tid_len, rows_mt = static.perlane_layout
+    pn, t_pad, box_len, tid_len, rows_mt, qsc_len = static.perlane_layout
     oct_len = _align(2 * pn)
     num_blocks = p // BLOCK_PACKETS
 
@@ -961,7 +1074,7 @@ def perlane_closest_sweep(
     kernel = functools.partial(
         _perlane_closest_kernel,
         tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
-        oct_len=oct_len, num_blocks=num_blocks,
+        qsc_len=qsc_len, oct_len=oct_len, num_blocks=num_blocks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -973,6 +1086,7 @@ def perlane_closest_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # instid
             pl.BlockSpec(memory_space=pl.ANY),       # box
             pl.BlockSpec(memory_space=pl.ANY),       # tid
+            pl.BlockSpec(memory_space=pl.ANY),       # qsc
             pl.BlockSpec(memory_space=pl.ANY),       # oct
             pl.BlockSpec(memory_space=pl.ANY),       # planes
             pl.BlockSpec(memory_space=pl.ANY),       # links
@@ -984,6 +1098,7 @@ def perlane_closest_sweep(
         scratch_shapes=[
             pltpu.SMEM((box_len,), jnp.float32),
             pltpu.SMEM((tid_len,), jnp.int32),
+            pltpu.SMEM((qsc_len,), jnp.float32),
             pltpu.SMEM((oct_len,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
@@ -993,7 +1108,8 @@ def perlane_closest_sweep(
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, 9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((5, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1003,10 +1119,10 @@ def perlane_closest_sweep(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((9, p, K_SUB, K_LANE), jnp.float32),
-        input_output_aliases={13: 0},
+        input_output_aliases={14: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(bits, octs, meshof, w2o, matid, instid,
-      scene.pl_box, scene.pl_tid, scene.mega_oct,
+      scene.pl_box, scene.pl_tid, scene.pl_qsc, scene.mega_oct,
       scene.pl_planes, scene.pl_links, scene.pl_mt, rays, state)
     return out
 
@@ -1014,15 +1130,15 @@ def perlane_closest_sweep(
 def _perlane_anyhit_kernel(
     bits_ref, octs_ref,
     meshof_ref, w2o_ref,
-    box_hbm, tid_hbm, oct_hbm, pln_hbm, lnk_hbm, mt_hbm,
+    box_hbm, tid_hbm, qsc_hbm, oct_hbm, pln_hbm, lnk_hbm, mt_hbm,
     rays_hbm, tmax_hbm, occ_in_hbm,
     occ_out,
-    boxf, tidm, tabo, cur_mesh, pend_blk,
+    boxf, tidm, qscm, tabo, cur_mesh, pend_blk,
     pln_v, lnk_v, mt_v, ray_buf, tmax_buf, occ_buf, od_buf,
     sem_tab, sem_oct, sem_in, sem_out,
     *,
-    tmin: float, pn: int, box_len: int, tid_len: int, oct_len: int,
-    num_blocks: int,
+    tmin: float, pn: int, box_len: int, tid_len: int, qsc_len: int,
+    oct_len: int, num_blocks: int,
 ):
     e = pl.program_id(0)
     num_e = pl.num_programs(0)
@@ -1049,6 +1165,9 @@ def _perlane_anyhit_kernel(
                 pltpu.make_async_copy(
                     tid_hbm.at[pl.ds(mesh * tid_len, tid_len)], tidm,
                     sem_tab.at[1]),
+                pltpu.make_async_copy(
+                    qsc_hbm.at[pl.ds(mesh * qsc_len, qsc_len)], qscm,
+                    sem_tab.at[4]),
                 pltpu.make_async_copy(pln_hbm.at[mesh], pln_v,
                                       sem_tab.at[2]),
                 pltpu.make_async_copy(mt_hbm.at[mesh], mt_v,
@@ -1121,7 +1240,7 @@ def _perlane_anyhit_kernel(
             tmaxs = [tmax_buf[slot, pk] for pk in pks]
             occ0s = tuple(occ_buf[slot, pk] for pk in pks)
             res = _walk_anyhit_perlane(
-                boxf, tidm, tabo, pln_v, lnk_v, mt_v, od_buf,
+                boxf, tidm, tabo, qscm, pln_v, lnk_v, mt_v, od_buf,
                 pks, tmaxs, occ0s, pn, tid_len, tmin,
             )
             for i, pk in enumerate(pks):
@@ -1160,15 +1279,18 @@ def perlane_anyhit_sweep(
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
     if static.perlane_shadow_layout is not None:
-        pn, t_pad, box_len, tid_len, rows_mt = static.perlane_shadow_layout
+        (pn, t_pad, box_len, tid_len, rows_mt,
+         qsc_len) = static.perlane_shadow_layout
         entries = static.shadow_traversal_list
-        tabs = (scene.pl_sh_box, scene.pl_sh_tid, scene.mega_sh_oct,
-                scene.pl_sh_planes, scene.pl_sh_links, scene.pl_sh_mt)
+        tabs = (scene.pl_sh_box, scene.pl_sh_tid, scene.pl_sh_qsc,
+                scene.mega_sh_oct, scene.pl_sh_planes, scene.pl_sh_links,
+                scene.pl_sh_mt)
         roots = scene.mega_sh_root
     else:
-        pn, t_pad, box_len, tid_len, rows_mt = static.perlane_layout
+        (pn, t_pad, box_len, tid_len, rows_mt,
+         qsc_len) = static.perlane_layout
         entries = static.traversal_list
-        tabs = (scene.pl_box, scene.pl_tid, scene.mega_oct,
+        tabs = (scene.pl_box, scene.pl_tid, scene.pl_qsc, scene.mega_oct,
                 scene.pl_planes, scene.pl_links, scene.pl_mt)
         roots = None
     oct_len = _align(2 * pn)
@@ -1189,7 +1311,7 @@ def perlane_anyhit_sweep(
     kernel = functools.partial(
         _perlane_anyhit_kernel,
         tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
-        oct_len=oct_len, num_blocks=num_blocks,
+        qsc_len=qsc_len, oct_len=oct_len, num_blocks=num_blocks,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1199,6 +1321,7 @@ def perlane_anyhit_sweep(
             pl.BlockSpec(memory_space=pltpu.SMEM),   # w2o
             pl.BlockSpec(memory_space=pl.ANY),       # box
             pl.BlockSpec(memory_space=pl.ANY),       # tid
+            pl.BlockSpec(memory_space=pl.ANY),       # qsc
             pl.BlockSpec(memory_space=pl.ANY),       # oct
             pl.BlockSpec(memory_space=pl.ANY),       # planes
             pl.BlockSpec(memory_space=pl.ANY),       # links
@@ -1211,6 +1334,7 @@ def perlane_anyhit_sweep(
         scratch_shapes=[
             pltpu.SMEM((box_len,), jnp.float32),
             pltpu.SMEM((tid_len,), jnp.int32),
+            pltpu.SMEM((qsc_len,), jnp.float32),
             pltpu.SMEM((oct_len,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
@@ -1221,7 +1345,7 @@ def perlane_anyhit_sweep(
             pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.int32),
             pltpu.VMEM((9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((5,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1231,7 +1355,7 @@ def perlane_anyhit_sweep(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((p, K_SUB, K_LANE), jnp.int32),
-        input_output_aliases={12: 0},
+        input_output_aliases={13: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(bits, octs, meshof, w2o, *tabs, rays, tmax_reg, occ)
     return out

@@ -66,7 +66,7 @@ def test_partition_invariants(chunk):
 
 def test_packed_tables(chunk):
     arrays, lay = pack_perlane_tables([chunk], normals=True)
-    pad_nodes, t_pad, box_len, tid_len, rows = lay
+    pad_nodes, t_pad, box_len, tid_len, rows, qsc_len = lay
     assert rows == ROWS_CLOSEST
     n = chunk["first"].shape[0]
     tid, nt = treelet_partition(chunk["first"], chunk["count"],
@@ -90,27 +90,31 @@ def test_packed_tables(chunk):
     ids = np.arange(n)
     in_t = tid < nt
 
-    def unpack_pln(w):
-        u = np.uint32(np.int64(w) & 0xFFFFFFFF)
-        lo = np.uint32(u << np.uint32(16)).view(np.float32)
-        hi = np.uint32(u & np.uint32(0xFFFF0000)).view(np.float32)
-        return float(lo), float(hi)
+    qsc = arrays["qsc"].reshape(1, qsc_len)[0]
+
+    def unpack_pln(w, t, a):
+        u = np.int64(w) & 0xFFFFFFFF
+        q_lo = np.float32(u & 0xFFFF)
+        q_hi = np.float32((u >> 16) & 0xFFFF)
+        org = qsc[t * 8 + 2 * a]
+        sc = qsc[t * 8 + 2 * a + 1]
+        return float(org + q_lo * sc), float(org + q_hi * sc), float(sc)
 
     for g in np.flatnonzero(in_t)[:: max(1, n // 64)]:
         t = tid[g]
         ll = g - roots[t]
-        # packed planes replicated across sublanes; unpacked bf16 bounds
-        # are conservative (lo <= aabb_min, hi >= aabb_max) and within
-        # one bf16 ulp (~0.4%) of the f32 plane
+        # packed planes replicated across sublanes; dequantized bounds
+        # are conservative (lo <= aabb_min, hi >= aabb_max) within a few
+        # 2^-16 grid steps of the treelet extent
         for a in range(3):
             w0 = planes[t, a, 0, ll]
             assert (planes[t, a, :, ll] == w0).all()
-            lo, hi = unpack_pln(w0)
+            lo, hi, sc = unpack_pln(w0, t, a)
             fmin = float(chunk["aabb_min"][g, a])
             fmax = float(chunk["aabb_max"][g, a])
             assert lo <= fmin and hi >= fmax
-            assert abs(lo - fmin) <= max(abs(fmin), 1e-30) * 0.01
-            assert abs(hi - fmax) <= max(abs(fmax), 1e-30) * 0.01
+            assert fmin - lo <= 3.0 * max(sc, 1e-30)
+            assert hi - fmax <= 3.0 * max(sc, 1e-30)
         # localized links in ONE packed word: same-treelet targets keep
         # DFS offsets, exits become the DONE sentinel
         cnt = chunk["count"][g] if chunk["first"][g] >= 0 else 0
@@ -139,37 +143,35 @@ def test_packed_tables(chunk):
                         chunk["n_soa"][p9][f + k])
 
 
-def test_bf16_conservative_rounding():
-    """pack_box_word's bf16 lattice rounding: lo always rounds down, hi
-    always rounds up, exact bf16 values stay exact (both signs)."""
-    from raytpu.ops.perlane import _bf16_down, _bf16_up
+def test_quantize_axis_conservative():
+    """16-bit treelet-grid plane quantization: dequantized lo never
+    exceeds the true lo and dequantized hi never undercuts the true hi
+    under BOTH kernel rounding orders (mul+add and fma), and the slack
+    stays within ~2 grid steps of the treelet extent."""
+    from raytpu.ops.perlane import _dequant_both, quantize_axis
 
     rng = np.random.RandomState(7)
-    x = np.concatenate([
-        rng.randn(4096).astype(np.float32) * 10.0 ** rng.randint(
-            -20, 20, 4096),
-        np.float32([0.0, -0.0, 1.0, -1.0, 3.0, -3.0, 1e-38, -1e-38]),
-        # exact bf16 lattice points
-        (np.uint32(rng.randint(0, 0xFF80, 64, np.uint32) << 16)
-         ).view(np.float32),
-    ]).astype(np.float32)
-    x = x[np.isfinite(x)]
-
-    def to_f32(bits16):
-        return (bits16.astype(np.uint32) << 16).view(np.float32)
-
-    down = to_f32(_bf16_down(x))
-    up = to_f32(_bf16_up(x))
-    assert (down <= x).all(), "bf16_down must never exceed x"
-    assert (up >= x).all(), "bf16_up must never undercut x"
-    # tight: within one bf16 ulp (<= 2^-7 relative for normals)
-    fin = np.isfinite(down) & np.isfinite(up) & (np.abs(x) > 1e-30)
-    rel = (up[fin] - down[fin]) / np.abs(x[fin])
-    assert (rel <= 2.0 ** -6).all()
-    # exact lattice points stay exact
-    exact = (x.view(np.uint32) & 0xFFFF) == 0
-    assert (down[exact] == x[exact]).all()
-    assert (up[exact] == x[exact]).all()
+    for trial in range(20):
+        org = np.float32(rng.randn() * 10.0 ** rng.randint(-3, 4))
+        ext = abs(rng.randn()) * 10.0 ** rng.randint(-3, 4)
+        lo = (org + ext * rng.rand(257)).astype(np.float32)
+        hi = (lo + ext * rng.rand(257) * 0.2).astype(np.float32)
+        hi = np.minimum(hi, np.float32(np.float64(org) + ext))
+        lo = np.minimum(lo, hi)
+        q_lo, q_hi, scale = quantize_axis(lo, hi, float(org), float(ext))
+        for q, bound, side in ((q_lo, lo, "lo"), (q_hi, hi, "hi")):
+            a, b = _dequant_both(q, org, scale)
+            if side == "lo":
+                assert (a <= bound).all() and (b <= bound).all()
+                assert (bound - a <= 3.0 * max(scale, 1e-30)).all()
+            else:
+                assert (a >= bound).all() and (b >= bound).all()
+                assert (a - bound <= 3.0 * max(scale, 1e-30)).all()
+    # degenerate extent: dequant collapses to the origin exactly
+    q_lo, q_hi, scale = quantize_axis(
+        np.float32([2.5, 2.5]), np.float32([2.5, 2.5]), 2.5, 0.0
+    )
+    assert scale == 0.0 and (q_lo == 0).all() and (q_hi == 0).all()
 
 
 def test_packed_anyhit_layout(chunk):
@@ -187,7 +189,7 @@ def test_dispatch_gating_off_tpu():
     static = SceneStatic(
         mesh_prim_ranges=((0, 12),), instance_mesh=(0,),
         mesh_node_ranges=((0, 3),), traversal="perlane",
-        perlane_layout=(8, 1, 1024, 1024, 80),
+        perlane_layout=(8, 1, 1024, 1024, 80, 1024),
     )
     use = _use_perlane(static, 8, 1024)
     assert use == (jax.default_backend() == "tpu")

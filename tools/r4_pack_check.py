@@ -137,12 +137,15 @@ def mt_banks(mt, tlid, k, qn, o3, d3, tmin, bt):
     return t, u, v, h
 
 
-def _unpack_pln(w):
-    """Packed box word -> (lo, hi) f32, exactly as the kernel unpacks."""
-    u = w.astype(np.int64).astype(np.uint32)    # two's complement bits
-    lo = (u << np.uint32(16)).astype(np.uint32).view(np.float32)
-    hi = (u & np.uint32(0xFFFF0000)).view(np.float32)
-    return lo, hi
+def _unpack_pln(w, org, sc):
+    """Packed quantized box word -> (lo, hi) f32, as the kernel
+    dequantizes (mul+add f32 order)."""
+    u = w.astype(np.int64) & 0xFFFFFFFF
+    q_lo = (u & 0xFFFF).astype(np.float32)
+    q_hi = ((u >> 16) & 0xFFFF).astype(np.float32)
+    lo = (q_lo * np.float32(sc)).astype(np.float32) + np.float32(org)
+    hi = (q_hi * np.float32(sc)).astype(np.float32) + np.float32(org)
+    return lo.astype(np.float32), hi.astype(np.float32)
 
 
 def _unpack_lnk(w):
@@ -153,10 +156,11 @@ def _unpack_lnk(w):
 def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
                   anyhit, win=None, normals=False):
     """The kernel algorithm on the PACKED tables (numpy lockstep)."""
-    pad_nodes, t_pad, box_len, tid_len, rows = lay
+    pad_nodes, t_pad, box_len, tid_len, rows, qsc_len = lay
     tmin = 1e-3
     box = arrays["box"][ci]
     tidm = arrays["tid"][ci]
+    qsc = arrays["qsc"].reshape(-1, qsc_len)[ci]
     pln = arrays["planes"][ci, :, :, 0]          # (T, 3, 128) packed words
     lnk = arrays["links"].reshape(-1, 8, t_pad, 8, 128)[
         ci, oct_id, :, 0]                        # (T, 128) packed words
@@ -247,7 +251,11 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
                         tn = np.full(L, tmin, np.float32)
                         tf = eff.copy().astype(np.float32)
                         for a in range(3):
-                            lo, hi = _unpack_pln(pln[site, a, nd])
+                            lo, hi = _unpack_pln(
+                                pln[site, a, nd],
+                                qsc[site * 8 + 2 * a],
+                                qsc[site * 8 + 2 * a + 1],
+                            )
                             t0 = (lo - o3[a]) * inv3[a]
                             t1 = (hi - o3[a]) * inv3[a]
                             tn = np.maximum(tn, np.minimum(t0, t1))
@@ -321,6 +329,7 @@ def main() -> int:
     arrays = {
         "box": np.asarray(dev.pl_box).reshape(len(chunks), lay[2]),
         "tid": np.asarray(dev.pl_tid).reshape(len(chunks), lay[3]),
+        "qsc": np.asarray(dev.pl_qsc),
         "planes": np.asarray(dev.pl_planes),
         "links": np.asarray(dev.pl_links),
         "mt": np.asarray(dev.pl_mt),
