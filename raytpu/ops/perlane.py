@@ -112,6 +112,13 @@ QD = 4
 # gather chain (measured: 4 slices cost the same per iteration as 1)
 W_PK = 4
 
+# scheduling of full leaf queues inside a treelet walk (A/B knob):
+# True  — a lane with a full queue STALLS while others walk on; drains
+#         happen when no lane can advance (1 reduction per step)
+# False — the walk pauses and drains when ANY lane's queue fills
+#         (2 reductions per step, lanes never idle-stall)
+STALL_SCHED = True
+
 # compact MT-table rows: 4 slots x 9 tri coords (+ 4 x 9 normal coords for
 # the closest set), padded to a sublane multiple
 ROWS_TRI = 4 * 9
@@ -694,18 +701,25 @@ def _walk_closest_perlane(
 
             def step_cond(c2):
                 lnodes, qss, qcs = c2
-                # ONE vector->scalar sync: a lane advances while it has
-                # queue room; full-queue lanes stall instead of pausing
-                # the whole walk (fewer drain phases, fuller drains)
-                return _any_or([
-                    (lnodes[i] != DONE) & (qcs[i] < QD) for i in range(ns)
-                ])
+                if STALL_SCHED:
+                    # ONE vector->scalar sync: a lane advances while it
+                    # has queue room; full-queue lanes stall instead of
+                    # pausing the whole walk
+                    return _any_or([
+                        (lnodes[i] != DONE) & (qcs[i] < QD)
+                        for i in range(ns)
+                    ])
+                act = _any_or([ln != DONE for ln in lnodes])
+                full = _any_or([qc >= QD for qc in qcs])
+                return act & ~full
 
             def step_body(c2):
                 lnodes, qss, qcs = c2
                 out_l, out_qs, out_qc = [], [], []
                 for i in range(ns):
-                    act = (lnodes[i] != DONE) & (qcs[i] < QD)
+                    act = lnodes[i] != DONE
+                    if STALL_SCHED:
+                        act = act & (qcs[i] < QD)
                     ln, qs, qc = _tl_step(
                         pln_ref, lnk_ref, qs6, site, lnodes[i], bt4[i],
                         qss[i], qcs[i], o_of(i), inv_of(i), tmin, act,
@@ -833,15 +847,22 @@ def _walk_anyhit_perlane(
 
             def step_cond(c2):
                 lnodes, qss, qcs = c2
-                return _any_or([
-                    (lnodes[i] != DONE) & (qcs[i] < QD) for i in range(ns)
-                ])
+                if STALL_SCHED:
+                    return _any_or([
+                        (lnodes[i] != DONE) & (qcs[i] < QD)
+                        for i in range(ns)
+                    ])
+                act = _any_or([ln != DONE for ln in lnodes])
+                full = _any_or([qc >= QD for qc in qcs])
+                return act & ~full
 
             def step_body(c2):
                 lnodes, qss, qcs = c2
                 out_l, out_qs, out_qc = [], [], []
                 for i in range(ns):
-                    act = (lnodes[i] != DONE) & (qcs[i] < QD)
+                    act = lnodes[i] != DONE
+                    if STALL_SCHED:
+                        act = act & (qcs[i] < QD)
                     ln, qs, qc = _tl_step(
                         pln_ref, lnk_ref, qs6, site, lnodes[i],
                         pending_t(i, occs[i]), qss[i], qcs[i],
