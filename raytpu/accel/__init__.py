@@ -90,9 +90,10 @@ def attach_bvh(
         e1 = e1_all[start : start + count]
         e2 = e2_all[start : start + count]
 
-        if needs_chunking(count, leaf_size):
+        ct = cfg.chunk_tris or None  # 0 = SMEM-sized default
+        if (ct and count > ct) or needs_chunking(count, leaf_size):
             # chunked BLAS: Morton-split into SMEM-resident sub-BVHs
-            m_order, ranges = chunk_order(v0, e1, e2)
+            m_order, ranges = chunk_order(v0, e1, e2, chunk_tris=ct)
             pieces = [
                 (m_order[s : s + c],) for (s, c) in ranges
             ]

@@ -126,6 +126,13 @@ class RenderConfig:
     # (per-lane results are permutation-invariant).
     wavefront: str = "full"
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
+    # triangles per BLAS chunk for the closest-hit set; 0 = SMEM-sized
+    # default (accel/chunking.CHUNK_TRIS). Small-mesh scenes with divergent
+    # bounce waves measure faster with FINER chunks (config5: 2048 → ~2.5 ms
+    # off a 34 ms frame, tools/r4_finechunk.py): shorter per-chunk walks
+    # beat the extra prepass entries once trees are shallow. The
+    # anyhit-specialized shadow set keeps its own coarser partition.
+    chunk_tris: int = 0
     leaf_size: int = 4            # max triangles per BVH leaf
     bvh_builder: str = "auto"     # "auto" | "native" | "sah" | "median" | "lbvh"
     # "auto" | "hybrid" | "perlane" | "mega" | "xla" | "pallas" | "brute"

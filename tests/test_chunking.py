@@ -104,3 +104,25 @@ def test_chunked_prim_ids_are_global(rng):
     v0 = np.asarray(r.device_scene.tri_v0)
     bv0 = np.asarray(r.device_scene.bvh_tri_v0)
     np.testing.assert_allclose(bv0, v0[prim])
+
+
+def test_chunk_tris_config_knob(rng):
+    """RenderConfig.chunk_tris forces a finer main-set partition (the
+    config5 tuning surface) and renders identically to the default."""
+    mesh = generate_highpoly(depth=5)  # 20480 tris
+    base = RenderConfig(
+        objects=(ObjectConfig("gen", MaterialType.DIFFUSE, "static"),),
+        width=32, height=32, samples_per_pixel=1, max_bounce_count=1,
+        traversal="xla",
+    )
+    r_def = Renderer(load_scene(base, meshes=[mesh]))
+    r_def.set_transforms(0.0)
+
+    cfg = base.replace(chunk_tris=2048)
+    r_fine = Renderer(load_scene(cfg, meshes=[mesh]))
+    r_fine.set_transforms(0.0)
+    assert len(r_fine.static.traversal_list) == 10  # ceil(20480/2048)
+    assert len(r_fine.static.traversal_list) > len(
+        r_def.static.traversal_list)
+    np.testing.assert_allclose(r_fine.render_np(), r_def.render_np(),
+                               atol=1e-5)

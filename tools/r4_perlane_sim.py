@@ -91,6 +91,10 @@ def main() -> int:
 
     t0 = time.perf_counter()
     sc = load_preset_scene(PRESET)
+    wh = os.environ.get("SIM_WH", "")
+    if wh:
+        w_, h_ = (int(x) for x in wh.split("x"))
+        sc.config = sc.config.replace(width=w_, height=h_)
     rr = Renderer(sc)
     rr.set_transforms(0.0)
     rs = rr.render_static
@@ -426,71 +430,112 @@ def main() -> int:
         print(json.dumps({label: agg}), flush=True)
         return agg, state_full, bt
 
-    # ---- j0 closest ----
-    window = np.where(inf_np, np.float32(RAY_TMAX), 0.0).astype(np.float32)
-    agg_c, st, bt = run_sweep(None, onp, dnp, window, False, None,
-                              static.traversal_list, "closest_j0")
-
-    # ---- shadow rays from the sim's own hit data ----
-    valid = st["slot"] >= 0
-    of = onp.reshape(3, -1)
-    df = dnp.reshape(3, -1)
-    pos = of + bt[None, :] * df
-    # interpolated world normal from the winning entry/chunk
-    nrm = np.zeros((3, p * 1024), np.float32)
-    for e, (inst, chunk) in enumerate(static.traversal_list):
-        m_ = (st["entry"] == e)
-        if not m_.any():
-            continue
-        c = chunks[chunk]
-        # slot indexes this chunk's local tri arrays
-        s = st["slot"][m_]
-        u = st["u"][m_]
-        v = st["v"][m_]
-        w_ = 1.0 - u - v
-        nl = [w_ * c["n_soa"][a][s] + u * c["n_soa"][3 + a][s]
-              + v * c["n_soa"][6 + a][s] for a in range(3)]
-        mtx = w2o[inst]
-        nw = [mtx[0, a_] * nl[0] + mtx[1, a_] * nl[1] + mtx[2, a_] * nl[2]
-              for a_ in range(3)]
-        nlen = np.sqrt(nw[0] ** 2 + nw[1] ** 2 + nw[2] ** 2)
-        for a in range(3):
-            nrm[a][m_] = nw[a] / np.maximum(nlen, 1e-30)
-        # instance material
     inst_of_entry = np.asarray([i for i, _ in static.traversal_list])
-    mat_lane = np.where(valid, mats[inst_of_entry[
-        np.maximum(st["entry"], 0)]], -1)
-    ddotn = (df * nrm).sum(axis=0)
-    lit = valid & inf_np.reshape(-1) & (mat_lane == 0) & (ddotn < 0)
-    sh_o = pos + HIT_EPSILON * nrm
-    to_l = light_pos[:, None] - pos
-    ldist = np.sqrt((to_l ** 2).sum(axis=0))
-    ldir = to_l / np.maximum(ldist, 1e-30)
-    sh_win = np.where(lit, ldist, 0.0).astype(np.float32)
-    print(json.dumps({"shadow_rays": int(lit.sum()),
-                      "primary_hits": int(valid.sum())}), flush=True)
 
-    # shadow chunk set uses the shadow tables; rebuild chunk dicts
-    # NOTE: uses the SAME per-mesh chunks (main set) for walk statistics —
-    # the anyhit-specialized partition differs only in chunk size (13824),
-    # close enough for iteration-count ratios.
-    agg_s, _, _ = run_sweep(
-        None, sh_o.reshape(3, p, 1024).astype(np.float32),
-        ldir.reshape(3, p, 1024).astype(np.float32),
-        sh_win, True, None, static.traversal_list, "shadow_j0")
+    def hit_attribs(st, bt, of, df):
+        """Hit position, interpolated world normal (normalized), material
+        per lane from a closest sweep's winner state."""
+        valid = st["slot"] >= 0
+        pos = of + bt[None, :] * df
+        nrm = np.zeros((3, p * 1024), np.float32)
+        for e, (inst, chunk) in enumerate(static.traversal_list):
+            m_ = (st["entry"] == e)
+            if not m_.any():
+                continue
+            c = chunks[chunk]
+            # slot indexes this chunk's local tri arrays
+            s = st["slot"][m_]
+            u = st["u"][m_]
+            v = st["v"][m_]
+            w_ = 1.0 - u - v
+            nl = [w_ * c["n_soa"][a][s] + u * c["n_soa"][3 + a][s]
+                  + v * c["n_soa"][6 + a][s] for a in range(3)]
+            mtx = w2o[inst]
+            nw = [mtx[0, a_] * nl[0] + mtx[1, a_] * nl[1]
+                  + mtx[2, a_] * nl[2] for a_ in range(3)]
+            nlen = np.sqrt(nw[0] ** 2 + nw[1] ** 2 + nw[2] ** 2)
+            for a in range(3):
+                nrm[a][m_] = nw[a] / np.maximum(nlen, 1e-30)
+        mat_lane = np.where(valid, mats[inst_of_entry[
+            np.maximum(st["entry"], 0)]], -1)
+        return valid, pos, nrm, mat_lane
 
-    print(json.dumps({"summary": {
-        "closest_union_iters": agg_c["cons_iters"],
-        "closest_perlane_max_iters": agg_c["pl_iters"],
-        "closest_treelet_iters": agg_c["treelet_iter_sum"],
-        "closest_visited_treelets": agg_c["visited_treelets"],
-        "closest_top_iters": agg_c["top_max_sum"],
-        "shadow_union_iters": agg_s["cons_iters"],
-        "shadow_perlane_max_iters": agg_s["pl_iters"],
-        "shadow_treelet_iters": agg_s["treelet_iter_sum"],
-        "shadow_visited_treelets": agg_s["visited_treelets"],
-        "shadow_top_iters": agg_s["top_max_sum"],
-    }}), flush=True)
+    # ---- bounce loop: closest_j / shadow_j sweep stats per depth ----
+    bounces = int(os.environ.get("SIM_BOUNCES", "0"))
+    ior = 1.52  # INDEX_OF_REFRACTION (include/config.h)
+    o_cur = onp.reshape(3, -1).astype(np.float32)
+    d_cur = dnp.reshape(3, -1).astype(np.float32)
+    active = inf_np.reshape(-1).copy()
+    summary = {}
+    for j in range(bounces + 1):
+        window = np.where(active, np.float32(RAY_TMAX), 0.0).astype(
+            np.float32)
+        agg_c, st, bt = run_sweep(
+            None, o_cur.reshape(3, p, 1024), d_cur.reshape(3, p, 1024),
+            window, False, None, static.traversal_list, f"closest_j{j}")
+        valid, pos, nrm, mat_lane = hit_attribs(st, bt, o_cur, d_cur)
+        hitm = active & valid
+        ddotn = (d_cur * nrm).sum(axis=0)
+        lit = hitm & (mat_lane == 0) & (ddotn < 0)
+        sh_o = pos + HIT_EPSILON * nrm
+        to_l = light_pos[:, None] - pos
+        ldist = np.sqrt((to_l ** 2).sum(axis=0))
+        ldir = (to_l / np.maximum(ldist, 1e-30)).astype(np.float32)
+        sh_win = np.where(lit, ldist, 0.0).astype(np.float32)
+        print(json.dumps({f"rays_j{j}": {
+            "traced": int(active.sum()), "hits": int(hitm.sum()),
+            "shadow": int(lit.sum())}}), flush=True)
+        # shadow chunk set uses the shadow tables; this reuses the SAME
+        # per-mesh chunks (main set) for walk statistics — the anyhit-
+        # specialized partition differs only in chunk size (13824), close
+        # enough for iteration-count ratios.
+        agg_s, _, _ = run_sweep(
+            None, sh_o.reshape(3, p, 1024).astype(np.float32),
+            ldir.reshape(3, p, 1024), sh_win, True, None,
+            static.traversal_list, f"shadow_j{j}")
+        for name, agg in (("closest", agg_c), ("shadow", agg_s)):
+            summary[f"{name}_j{j}"] = {
+                "union_iters": agg["cons_iters"],
+                "perlane_max_iters": agg["pl_iters"],
+                "treelet_iters": agg["treelet_iter_sum"],
+                "visited_treelets": agg["visited_treelets"],
+                "top_iters": agg["top_max_sum"],
+                "walks": agg["walks"],
+            }
+        # continuations (src/shader.rgen:132-177 semantics)
+        is_m = hitm & (mat_lane == 1)
+        is_r = hitm & (mat_lane == 2)
+        cont = is_m | is_r
+        if j == bounces or not cont.any():
+            break
+        # mirror: o = pos + eps*n, d = reflect(d, n)
+        dn = 2.0 * ddotn
+        d_m = d_cur - dn[None] * nrm
+        o_m = pos + HIT_EPSILON * nrm
+        # refract: Snell + TIR with flipped normal when exiting
+        outw = ddotn > 0.0
+        n_f = np.where(outw[None], -nrm, nrm)
+        ndoti_f = np.where(outw, -ddotn, ddotn)
+        ratio = np.where(outw, ior, 1.0 / ior).astype(np.float32)
+        kk = 1.0 - ratio * ratio * (1.0 - ndoti_f * ndoti_f)
+        tir = kk < 0.0
+        d_tir = d_cur - (2.0 * (d_cur * n_f).sum(0))[None] * n_f
+        coeff = ratio * ndoti_f + np.sqrt(np.maximum(kk, 0.0))
+        r_d = ratio[None] * d_cur - coeff[None] * n_f
+        r_d = r_d / np.maximum(
+            np.sqrt((r_d ** 2).sum(0))[None], 1e-30)
+        d_r = np.where(tir[None], d_tir, r_d)
+        o_r = np.where(tir[None], pos + HIT_EPSILON * n_f,
+                       pos - HIT_EPSILON * n_f)
+        o_cur = np.where(is_m[None], o_m,
+                         np.where(is_r[None], o_r, o_cur)).astype(
+                             np.float32)
+        d_cur = np.where(is_m[None], d_m,
+                         np.where(is_r[None], d_r, d_cur)).astype(
+                             np.float32)
+        active = cont
+
+    print(json.dumps({"summary": summary}), flush=True)
     return 0
 
 
