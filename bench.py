@@ -8,9 +8,9 @@ armadillo-class 1080p 3-bounce Whitted scene (config 4).
 Runs on the default platform (the real TPU chip under axon); set
 RAYTPU_BENCH_PRESET / RAYTPU_BENCH_FRAMES / RAYTPU_HIGHPOLY_DEPTH to vary.
 
-``python bench.py --selftest`` runs ONLY the megakernel bit-identity gate
-(mega vs chained-Pallas low-res frame, exact equality — the CLAUDE.md
-invariant) and exits 0/1 on match/mismatch.
+``python bench.py --selftest`` runs ONLY the traversal bit-identity gate
+(megakernel AND per-lane tier vs the chained-Pallas low-res frame, exact
+equality — the CLAUDE.md invariant) and exits 0/1 on match/mismatch.
 """
 
 import json

@@ -246,7 +246,11 @@ def attach_bvh(
     # only pack when the tier can actually run.
     perlane_layout = None
     perlane_shadow_layout = None
-    if mega_layout is not None and _perlane_wanted(cfg):
+    total_tris = sum(c for _, c in static.mesh_prim_ranges)
+    auto_tier = resolve_auto_tier(
+        total_tris, cfg.samples_per_pixel, cfg.max_bounce_count
+    )
+    if mega_layout is not None and _perlane_wanted(cfg, auto_tier):
         from raytpu.ops.perlane import pack_perlane_tables
 
         tabs, perlane_layout = pack_perlane_tables(mega_chunks,
@@ -285,16 +289,36 @@ def attach_bvh(
         shadow_traversal_list=shadow_trav,
         perlane_layout=perlane_layout,
         perlane_shadow_layout=perlane_shadow_layout,
+        auto_tier=auto_tier,
     )
     return dev, static_out
 
 
-def _perlane_wanted(cfg) -> bool:
+def resolve_auto_tier(total_tris: int, spp: int, bounces: int) -> str:
+    """traversal="auto" tier on TPU, from the measured preset A/B table
+    (tools/r4_ab_defaults.py, tools/r4_hybrid_ab.py; docs/roadmap.md
+    round-3b): the two-level per-lane tier (ops/perlane.py) beats the
+    consensus megakernel where walks are long or scattered — large
+    meshes (config4 163.7 vs 184.4 ms; the 63-bounce reference preset
+    86.8 vs 110.8) and spp=1 divergent-bounce scenes (config5 32.3 vs
+    34.7) — while small coherent spp>1 scenes stay faster on the
+    megakernel (config2 27.3 vs 28.4, config3 54.2 vs 58.3; routing
+    even just the primary sweeps per-lane loses there: hybrid 28.8 on
+    config2). The cut below encodes that table; traversal="mega" /
+    "perlane" / "hybrid" override it."""
+    if total_tris >= 65536:
+        return "perlane"
+    if spp == 1 and bounces >= 1:
+        return "perlane"
+    return "mega"
+
+
+def _perlane_wanted(cfg, auto_tier: str) -> bool:
     """Pack the per-lane tables only where the TPU-only tier can run (or
     is explicitly forced) — they cost HBM and build time."""
     if cfg.traversal in ("perlane", "hybrid"):
         return True
-    if cfg.traversal != "auto":
+    if cfg.traversal != "auto" or auto_tier != "perlane":
         return False
     import jax
 

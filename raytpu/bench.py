@@ -140,7 +140,10 @@ def profile_stages(
         times[name] = (_t.perf_counter() - t0) / frames * 1e3
         return out
 
-    if _use_mega(static, p, PACKET_K):
+    from raytpu.ops.trace import _use_perlane
+
+    use_pl = _use_perlane(static, p, PACKET_K, tier="loop")
+    if use_pl or _use_mega(static, p, PACKET_K):
         from raytpu.config import HIT_EPSILON
         from raytpu.ops import shade
         from raytpu.ops import vec3 as v3
@@ -157,11 +160,36 @@ def profile_stages(
             lambda r, w: chunk_block_hits(scene, static, r, w, RAY_TMIN)
         )
         timed("prepass", prepass, rays, lane_tmax.reshape(p, 8, 128))
-        sweep = jax.jit(
-            functools.partial(
-                mega_closest_sweep, scene, static, tmin=RAY_TMIN, group=group
+        if use_pl:
+            # profile the tier the frame actually dispatches to
+            from raytpu.ops.perlane import (
+                perlane_anyhit_sweep,
+                perlane_closest_sweep,
             )
-        )
+
+            sweep = jax.jit(
+                lambda rays, state: perlane_closest_sweep(
+                    scene, static, rays, RAY_TMIN, state)
+            )
+
+            def anyhit(rays, tmax_reg, occ):
+                return perlane_anyhit_sweep(
+                    scene, static, rays, RAY_TMIN, tmax_reg, occ)
+
+            anyhit = jax.jit(anyhit)
+        else:
+            sweep = jax.jit(
+                functools.partial(
+                    mega_closest_sweep, scene, static, tmin=RAY_TMIN,
+                    group=group
+                )
+            )
+            anyhit = jax.jit(
+                functools.partial(
+                    mega_anyhit_sweep, scene, static, tmin=RAY_TMIN,
+                    group=group
+                )
+            )
         state1 = timed(
             "closest_sweep",
             lambda r: sweep(rays=r, state=make_trace_state(lane_tmax)),
@@ -180,11 +208,6 @@ def profile_stages(
         l = v3.scale(1.0 / jnp.maximum(light_dist, 1e-30), to_light)
         shadow_rays = pack_rays(shadow_o, l)
         shadow_win = jnp.where(lit, light_dist, 0.0).reshape(p, 8, 128)
-        anyhit = jax.jit(
-            functools.partial(
-                mega_anyhit_sweep, scene, static, tmin=RAY_TMIN, group=group
-            )
-        )
         timed(
             "shadow_anyhit",
             lambda r, w: anyhit(
@@ -200,11 +223,30 @@ def profile_stages(
         o_b = v3.where(cont, v3.where(is_mirror, o_m, o_r), o)
         d_b = v3.where(cont, v3.where(is_mirror, d_m, d_r), d)
         bounce_tmax = jnp.where(cont, jnp.float32(RAY_TMAX), 0.0)
-        timed(
+        state2 = timed(
             "bounce_sweep",
             lambda r, w: sweep(rays=r, state=make_trace_state(w)),
             pack_rays(o_b, d_b),
             bounce_tmax,
+        )
+        # j=1 shadow: the reflected-diffuse shadow sweep (the largest
+        # single j>=1 bucket on config4) at its REAL scattered shapes
+        t2, valid2, mat2, _, n2, _, _ = unpack_state(state2, p, PACKET_K)
+        n2 = v3.normalize(n2)
+        hit2 = cont & valid2
+        pos2 = v3.add(o_b, v3.scale(t2, d_b))
+        lit2 = hit2 & (mat2 == 0) & (v3.dot(d_b, n2) < 0.0)
+        sh2_o = v3.add(pos2, v3.scale(HIT_EPSILON, n2))
+        to_l2 = tuple(scene.light_pos[c] - pos2[c] for c in range(3))
+        ld2 = v3.norm(to_l2)
+        l2 = v3.scale(1.0 / jnp.maximum(ld2, 1e-30), to_l2)
+        timed(
+            "bounce_shadow",
+            lambda r, w: anyhit(
+                rays=r, tmax_reg=w, occ=jnp.zeros((p, 8, 128), jnp.int32)
+            ),
+            pack_rays(sh2_o, l2),
+            jnp.where(lit2, ld2, 0.0).reshape(p, 8, 128),
         )
     # deferred sky fetch at full wave width
     from raytpu.ops import sky_mxu

@@ -70,7 +70,7 @@ def _build_config(args) -> RenderConfig:
     overrides = {}
     for field in ("width", "height", "samples_per_pixel", "max_bounce_count",
                   "ray_chunk", "devices", "traversal", "divergence",
-                  "wavefront"):
+                  "wavefront", "chunk_tris"):
         v = getattr(args, field, None)
         if v is not None:
             overrides[field] = v
@@ -94,6 +94,8 @@ def _add_scene_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--samples-per-pixel", type=int, dest="samples_per_pixel")
     p.add_argument("--max-bounce-count", type=int, dest="max_bounce_count")
     p.add_argument("--ray-chunk", type=int, dest="ray_chunk")
+    p.add_argument("--chunk-tris", type=int, dest="chunk_tris",
+                   help="triangles per BLAS chunk (0 = SMEM-sized default)")
     p.add_argument("--traversal",
                    choices=("auto", "perlane", "mega", "xla", "pallas",
                             "brute"),

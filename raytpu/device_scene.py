@@ -164,6 +164,9 @@ class SceneStatic:
     # None when the perlane tables are not attached
     perlane_layout: Optional[Tuple[int, int, int, int, int]] = None
     perlane_shadow_layout: Optional[Tuple[int, int, int, int, int]] = None
+    # traversal="auto" resolution on TPU: "mega" or "perlane", chosen at
+    # scene build from the measured preset table (accel.resolve_auto_tier)
+    auto_tier: str = "mega"
 
     @property
     def traversal_list(self) -> Tuple[Tuple[int, int], ...]:

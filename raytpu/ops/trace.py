@@ -461,15 +461,19 @@ def any_hit_wave(
 def _use_perlane(static: SceneStatic, p: int, k: int,
                  tier: str = "primary") -> bool:
     """Static dispatch to the two-level per-lane tier (TPU-only, like the
-    megakernel): always under traversal='perlane'; for the PRIMARY
-    (peeled j=0) sweeps under traversal='hybrid' — per-lane walks win on
-    coherent full-width waves (measured 1.26-1.47x over the consensus
-    megakernel) but are ~neutral on scattered bounce waves, where the
-    per-treelet entry overhead dominates (docs/roadmap.md round-3b)."""
+    megakernel): always under traversal='perlane' (and under 'auto' when
+    the scene-build heuristic resolved to it — accel.resolve_auto_tier's
+    measured preset table); for the PRIMARY (peeled j=0) sweeps under
+    traversal='hybrid' — per-lane walks win on coherent full-width waves
+    (measured 1.26-1.47x over the consensus megakernel) but are ~neutral
+    on scattered bounce waves, where the per-treelet entry overhead
+    dominates (docs/roadmap.md round-3b)."""
     from raytpu.ops.mega import BLOCK_PACKETS
     from raytpu.ops.traverse_pallas import PACKET_K
 
     if static.traversal == "perlane":
+        pass
+    elif static.traversal == "auto" and static.auto_tier == "perlane":
         pass
     elif static.traversal == "hybrid" and tier == "primary":
         pass

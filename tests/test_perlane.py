@@ -193,8 +193,25 @@ def test_dispatch_gating_off_tpu():
     )
     use = _use_perlane(static, 8, 1024)
     assert use == (jax.default_backend() == "tpu")
-    # only the explicit knob dispatches while the tier is opt-in
     import dataclasses
 
+    # "auto" follows the scene-build tier resolution (default mega)
     static2 = dataclasses.replace(static, traversal="auto")
     assert not _use_perlane(static2, 8, 1024)
+    static3 = dataclasses.replace(static2, auto_tier="perlane")
+    assert _use_perlane(static3, 8, 1024) == (
+        jax.default_backend() == "tpu")
+
+
+def test_auto_tier_measured_table():
+    """resolve_auto_tier encodes the measured preset A/B outcomes: big
+    meshes and spp=1 bounce scenes route per-lane, small coherent spp>1
+    scenes stay on the megakernel."""
+    from raytpu.accel import resolve_auto_tier
+
+    assert resolve_auto_tier(333_000, 4, 3) == "perlane"   # config4
+    assert resolve_auto_tier(333_000, 4, 63) == "perlane"  # reference
+    assert resolve_auto_tier(6_332, 1, 3) == "perlane"     # config5
+    assert resolve_auto_tier(6_320, 4, 2) == "mega"        # config2
+    assert resolve_auto_tier(36, 4, 3) == "mega"           # config3
+    assert resolve_auto_tier(12, 1, 0) == "mega"           # config1
