@@ -99,6 +99,10 @@ def config5_flythrough(resource_dir: Optional[str] = None) -> RenderConfig:
         height=1080,
         samples_per_pixel=1,
         max_bounce_count=3,
+        # fine BLAS chunks shorten the divergent spp=1 bounce walks on the
+        # small meshes: 36.6 -> 34.1 ms same-session (tools/r4_auto_probe,
+        # tools/r4_finechunk), renders bit-identical (n_diff 0)
+        chunk_tris=2048,
     )
 
 
