@@ -126,6 +126,11 @@ class RenderConfig:
     # (per-lane results are permutation-invariant).
     wavefront: str = "full"
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
+    # statically unroll the bounce loop (max_bounce_count <= 8 only):
+    # identical math to the lax.while_loop, measured as an A/B knob for
+    # the loop's structural overhead (carried-buffer copies around the
+    # aliased sweep kernels). Larger executable; default off.
+    bounce_unroll: bool = False
     # triangles per BLAS chunk for the closest-hit set; 0 = SMEM-sized
     # default (accel/chunking.CHUNK_TRIS). Small-mesh scenes with divergent
     # bounce waves measure faster with FINER chunks (config5: 2048 → ~2.5 ms

@@ -79,6 +79,7 @@ class RenderStatic:
     sky_sampler: str = "auto"  # "auto" | "gather" | "mxu" (ops/sky_mxu.py)
     divergence: str = "off"  # see RenderConfig.divergence
     wavefront: str = "full"  # see RenderConfig.wavefront
+    bounce_unroll: bool = False  # see RenderConfig.bounce_unroll
     fold_spp: bool = True  # trace all spp waves in one folded sweep
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
                            # 1024 = one native (8,128) VPU register — the
@@ -127,6 +128,7 @@ class RenderStatic:
             sky_sampler=config.sky_sampler,
             divergence=config.divergence,
             wavefront=config.wavefront,
+            bounce_unroll=config.bounce_unroll,
             validation=config.validation,
         )
 
@@ -432,9 +434,20 @@ def _trace_sample(
     if peel:
         state0 = body(state0, sparse="off",
                       tier="primary" if hybrid else "loop")
-    _, _, _, tmp, _, miss_rec, miss_dir = jax.lax.while_loop(
-        cond, body_compact if budget else body, state0
-    )
+    if rs.bounce_unroll and not budget and rs.max_bounce_count <= 8:
+        # statically unrolled bounce loop (experiment knob): identical
+        # per-iteration math — isolates lax.while_loop mechanics (carried-
+        # buffer copies around the aliased sweep kernels) from sweep cost.
+        # Executable holds max_bounce_count+1 copies of the sweep kernels,
+        # so this is capped to shallow loops.
+        state = state0
+        for _ in range(1 if peel else 0, rs.max_bounce_count + 1):
+            state = body(state)
+        _, _, _, tmp, _, miss_rec, miss_dir = state
+    else:
+        _, _, _, tmp, _, miss_rec, miss_dir = jax.lax.while_loop(
+            cond, body_compact if budget else body, state0
+        )
     if rs.validation:
         # per-frame in-jit NaN guard on the accumulated radiance + recorded
         # miss directions (synchronization-validation analog, SURVEY.md §5)
