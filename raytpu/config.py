@@ -102,6 +102,13 @@ class RenderConfig:
     # deferred-sky sampler: "auto" (MXU texture unit on TPU when the map and
     # packet shape allow, else gather), "gather", or "mxu" (forced)
     sky_sampler: str = "auto"
+    # window-cell lane re-binning of the deferred MXU sky fetch's
+    # compacted fallback sub-wave (sky_mxu._rebin_subwave): "auto"
+    # (currently resolves OFF — both rebin designs measured-REJECTED on
+    # chip, see integrator._use_sky_rebin), "on" (experiment), "off".
+    # Same ≤1 u8 LSB sampler contract either way (path assignment
+    # shifts across the sort).
+    sky_rebin: str = "auto"
 
     # --- TPU-specific knobs (no reference analog; tuning surface) ---
     # divergence scheduling for sparse/divergent waves (shadow + bounce

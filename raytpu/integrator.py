@@ -66,6 +66,33 @@ def _use_mxu_sky(rs: "RenderStatic", k: int, h: int, w: int) -> bool:
     return rs.sky_sampler == "mxu" or jax.default_backend() == "tpu"
 
 
+def _use_sky_rebin(rs: "RenderStatic") -> bool:
+    """Re-bin the compacted fallback sub-wave of the deferred MXU sky
+    fetch (sky_mxu._rebin_subwave)?
+
+    "auto" resolves OFF — BOTH rebin designs were measured-REJECTED on
+    chip (tools/r4_skyrebin_ab.py):
+
+    * v1 TOP-LEVEL rebin (sort the whole wave, move planes by per-lane
+      permute gathers): config5 32.6 → 242.6 ms, config4 166.7 → 820.9.
+      Per-lane ``take_along_axis`` transport costs ~like the gather it
+      replaces at 7 planes per wave, and its raster tile-order key made
+      sorted packets span a full map row at every tile-row wrap,
+      failing every window test.
+    * v2 SUB-WAVE rebin (sort only the compacted bad-packet sub-wave by
+      window cell, carry planes through the sorts as value operands):
+      config5 31.1 → 35.8, config4 166.6 → 209.1, reference 86.8 →
+      89.9. The 1D sort cost scales superlinearly (262k → 1.04M lanes
+      quadrupled input but ~9×'d the added cost) and the compacted
+      gather it displaces is only a few ms — the "19 ms sky fallback"
+      the op-level trace suggested was a misattribution of the bounce
+      loop's elementwise body fusions (4 executions/frame = the 4
+      bounce iterations, not 4 gather taps).
+
+    "on" keeps the v2 experiment reachable."""
+    return rs.sky_rebin == "on"
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderStatic:
     """Hashable render parameters (static under jit)."""
@@ -77,6 +104,7 @@ class RenderStatic:
     ray_chunk: int = 0     # rays per chunk (grouped whole packets); 0 = all
     skybox_filter: str = "bilinear"  # see RenderConfig.skybox_filter
     sky_sampler: str = "auto"  # "auto" | "gather" | "mxu" (ops/sky_mxu.py)
+    sky_rebin: str = "auto"    # "auto" | "on" | "off" (see _use_sky_rebin)
     divergence: str = "off"  # see RenderConfig.divergence
     wavefront: str = "full"  # see RenderConfig.wavefront
     bounce_unroll: bool = False  # see RenderConfig.bounce_unroll
@@ -126,6 +154,7 @@ class RenderStatic:
             ray_chunk=config.ray_chunk,
             skybox_filter=config.skybox_filter,
             sky_sampler=config.sky_sampler,
+            sky_rebin=config.sky_rebin,
             divergence=config.divergence,
             wavefront=config.wavefront,
             bounce_unroll=config.bounce_unroll,
@@ -463,9 +492,14 @@ def _trace_sample(
     mdz = jnp.where(miss_rec, -miss_dir[2], 1.0)
     if rs.skybox_filter == "bilinear" and _use_mxu_sky(rs, k, sky_h, sky_w):
         # MXU texture unit (ops/sky_mxu.py): true bilinear via tent-weight
-        # matmuls at single-tap cost
+        # matmuls at single-tap cost. With bounces, reflected miss
+        # directions scatter and fall off the per-packet windows onto the
+        # compacted gather fallback; window-cell lane re-binning of that
+        # sub-wave keeps it on the MXU path (same ≤1 u8 LSB sampler
+        # contract; see sky_mxu._rebin_subwave).
         sky = sky_mxu.sample_cubemap_u32_mxu(
-            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz), miss_rec
+            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz), miss_rec,
+            rebin=_use_sky_rebin(rs),
         )
     elif rs.skybox_filter == "bilinear":
         sky = sample_cubemap_u32(

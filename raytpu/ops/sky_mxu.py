@@ -34,13 +34,16 @@ Design (per 1024-ray packet = one (8,128) vector register per component):
    the packed word is NOT exact; measured on v5e).
 3. **Fallbacks**: divergent packets (secondary-bounce misses) are
    compacted by whole packets — contiguous 4KB-row gathers, not per-lane —
-   into a fixed-size buffer and sampled with the per-lane gather path; if
-   even that budget overflows, a nested ``lax.cond`` falls back to the
-   full gather sweep. Nearest mode is bit-identical to
-   :func:`raytpu.ops.sky.sample_cubemap_u32_nearest` in every tier;
-   bilinear mode matches :func:`raytpu.ops.sky.sample_cubemap_u32` to
-   within bf16 weight quantization (≤1 u8 LSB) on MXU packets and to
-   f32-ulp level on fallback packets.
+   into a fixed-size buffer; that sub-wave is lane-sorted by WINDOW CELL
+   (``_rebin_subwave``) so most of it rides the MXU kernel again, with a
+   nested compacted per-lane gather for cell-straddling sorted packets.
+   If the bad-packet budget overflows, a nested ``lax.cond`` falls back
+   to the full gather sweep. Nearest mode is bit-identical to
+   :func:`raytpu.ops.sky.sample_cubemap_u32_nearest` on miss lanes in
+   every tier; bilinear mode matches
+   :func:`raytpu.ops.sky.sample_cubemap_u32` to within bf16 weight
+   quantization (≤1 u8 LSB) on MXU packets and to f32-ulp level on
+   gather-fallback packets.
 
 Cost model (TPU v5e, measured): ~1.9µs marginal per packet (64KB DMA +
 24 small bf16 matmuls) vs ~7ns × 1024 lanes ≈ 7µs+ for the gather path —
@@ -75,6 +78,18 @@ COL_TILE = 128  # MXU contraction granule (tile 1 predicated off when unused)
 MAX_FACES = 3  # a convex pixel-tile frustum touches ≤3 cube faces (a corner)
 SKY_SUPER = 4  # packets per grid step (amortizes the per-step floor over
                # skipped no-miss packets)
+
+# Compacted-gather fallback budget = p // FALLBACK_DIV packets (min 32).
+# The compacted gather ALWAYS gathers `budget` packet rows when taken (its
+# shape is static under the lax.cond), so the budget trades adaptivity
+# (nbad > budget falls to the FULL per-lane gather over the whole wave)
+# against the compacted tier's own fixed cost. Module-level so probes can
+# sweep it (tools/r4_skybudget_ab.py).
+FALLBACK_DIV = 8
+# When true, _sample_mxu returns the per-wave bad-packet count broadcast
+# as the sky value instead of sampling (probe-only, never default; axon
+# supports no debug callbacks, so the count rides the frame output).
+DEBUG_NBAD = False
 
 _INV255 = 1.0 / 255.0
 
@@ -333,7 +348,8 @@ def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
     )
 
 
-def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
+def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
+                rebin: bool = True, fallback_div: int | None = None):
     x, y, z = dirs
     p, k = x.shape
     assert mxu_supported(h, w, k), "caller must gate on mxu_supported()"
@@ -404,14 +420,29 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
     # --- packet-compacted gather fallback for divergent packets ---
     bad = anym & ~ok
     nbad = bad.sum()
-    budget = min(p, max(32, p // 8))
+    budget = min(p, max(32, p // (fallback_div or FALLBACK_DIV)))
+    if DEBUG_NBAD:
+        # axon has no debug callbacks: smuggle the count out as the sky
+        # value (every miss pixel reads nbad; probe takes frame.max())
+        dbg = jnp.broadcast_to(nbad.astype(jnp.float32), (p, k))
+        return (dbg, dbg, dbg)
 
     def compacted():
         idx = jnp.nonzero(bad, size=budget, fill_value=0)[0]
         # fill rows duplicate packet 0: they recompute packet 0's true sky,
         # so duplicate scatters all write the same (correct) value
         sub = tuple(jnp.take(c, idx, axis=0) for c in dirs)
-        sub_sky = gather_fn(skybox_u32, h, w, sub)
+        if rebin:
+            # lane-sort the sub-wave by window cell so it rides the MXU
+            # kernel instead of the 4-tap gather (see _rebin_subwave) —
+            # only miss lanes matter downstream, so masking dead lanes
+            # into the sort's sink bucket is value-preserving
+            sub_miss = jnp.take(miss, idx, axis=0)
+            sub_sky = _rebin_subwave(
+                skybox_u32, h, w, sub, sub_miss, bilinear=bilinear
+            )
+        else:
+            sub_sky = gather_fn(skybox_u32, h, w, sub)
         scat = tuple(
             jnp.zeros((p, k), jnp.float32).at[idx].set(sc) for sc in sub_sky
         )
@@ -432,18 +463,91 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool):
     )
 
 
-def sample_cubemap_u32_nearest_mxu(skybox_u32, h: int, w: int, dirs, miss):
-    """Single-tap lookup, bit-identical to ``sample_cubemap_u32_nearest``.
+def sample_cubemap_u32_nearest_mxu(skybox_u32, h: int, w: int, dirs, miss,
+                                   rebin: bool = True):
+    """Single-tap lookup, bit-identical to ``sample_cubemap_u32_nearest``
+    ON MISS LANES (one-hot MXU taps and gather taps are both exact, with
+    or without the sub-wave re-binning).
 
     ``skybox_u32``: (6·h·w,) packed RGB8; ``dirs``: Vec3 of (P, 1024);
     ``miss``: (P, 1024) bool — only miss lanes' values are meaningful.
     """
-    return _sample_mxu(skybox_u32, h, w, dirs, miss, bilinear=False)
+    return _sample_mxu(skybox_u32, h, w, dirs, miss, bilinear=False,
+                       rebin=rebin)
 
 
-def sample_cubemap_u32_mxu(skybox_u32, h: int, w: int, dirs, miss):
+def sample_cubemap_u32_mxu(skybox_u32, h: int, w: int, dirs, miss,
+                           rebin: bool = True):
     """True bilinear via tent-weight matmuls — the reference's LINEAR
     sampler semantics (``src/main.cpp:2393-2406``), matching
-    ``sample_cubemap_u32`` to within bf16 weight quantization (≤1 u8 LSB)
-    on MXU packets and exactly on fallback packets."""
-    return _sample_mxu(skybox_u32, h, w, dirs, miss, bilinear=True)
+    ``sample_cubemap_u32`` on miss lanes to within bf16 weight
+    quantization (≤1 u8 LSB) on MXU packets and exactly on packets that
+    take the gather fallback. ``rebin`` enables window-cell lane
+    re-binning of the compacted fallback sub-wave (``_rebin_subwave``)."""
+    return _sample_mxu(skybox_u32, h, w, dirs, miss, bilinear=True,
+                       rebin=rebin)
+
+
+def _rebin_subwave(skybox_u32, h: int, w: int, dirs, miss, *,
+                   bilinear: bool):
+    """Window-cell lane re-binning of a compacted bad-packet sub-wave.
+
+    Scattered secondary-bounce miss directions poison the per-packet
+    consensus windows — ONE divergent lane widens a packet's tap span
+    past the window budget and the whole 1024-lane packet falls to the
+    4-tap HBM gather (profiled at ~19 ms/frame on config5: the budget-
+    sized compacted gather was the single largest bucket of that frame,
+    ``tools/r4_profile_trace.py``). Sorting the sub-wave's lanes by
+    WINDOW-CELL (face, 64-row, 256-col — exactly the window quantum)
+    makes almost every sorted packet window-pure, so the sub-wave rides
+    the MXU kernel; only cell-boundary-straddling packets (at most one
+    per cell touched) hit the nested gather fallback.
+
+    Transport rides the sorts, not gathers: per-lane ``take_along_axis``
+    permutes cost ~like the gather they'd replace (the v1 top-level
+    rebin paid 7 of them per wave and regressed config4 166.7 → 820.9 ms
+    on chip — also its raster tile-order key made sorted packets span a
+    full map row at every tile-row wrap, failing EVERY window test), so
+    the dirs ride the key sort as value operands and the results ride a
+    second sort keyed on the carried original lane index.
+
+    Sorting shifts which lanes ride the bf16-weight MXU path vs the
+    exact-gather fallback, so bilinear holds the SAME ≤1 u8 LSB contract
+    vs the 4-tap gather reference as the unsorted sampler — not bitwise
+    equality with it. Nearest mode stays bit-identical (one-hot MXU taps
+    and gather taps are both exact).
+    """
+    x, y, z = dirs
+    b, k = x.shape
+    face, s, t = face_st(x, y, z)
+    fx = jnp.clip(s * w - 0.5, 0.0, w - 1.0)
+    fy = jnp.clip(t * h - 0.5, 0.0, h - 1.0)
+    cy = jnp.floor(fy).astype(jnp.int32) >> 6       # 64-row window cell
+    cx = jnp.floor(fx).astype(jnp.int32) >> 8       # 256-col window cell
+    key = (face * ((h + 63) >> 6) + cy) * ((w + 255) >> 8) + cx
+    dead = jnp.int32(1) << 20                       # > any cell id
+    key = jnp.where(miss, key, dead)                # dead lanes sink last
+
+    n = b * k
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key_s, iota_s, x_s, y_s, z_s = jax.lax.sort(
+        (key.reshape(n), iota, x.reshape(n), y.reshape(n), z.reshape(n)),
+        dimension=0, is_stable=True, num_keys=1,
+    )
+    miss_s = (key_s < dead).reshape(b, k)
+    # nested call: no second sort level; a generous fallback budget (b//4)
+    # because thin-spread misses leave cell-straddling sorted packets —
+    # its compacted gather covers them while the sorted dead-lane tail
+    # packets stay skipped either way
+    rgb_s = _sample_mxu(
+        skybox_u32, h, w,
+        (x_s.reshape(b, k), y_s.reshape(b, k), z_s.reshape(b, k)),
+        miss_s, bilinear=bilinear, rebin=False, fallback_div=4,
+    )
+    # restore original lane order: iota_s is a permutation, so a stable
+    # sort keyed on it is the exact inverse
+    _, r0, r1, r2 = jax.lax.sort(
+        (iota_s,) + tuple(c.reshape(n) for c in rgb_s),
+        dimension=0, is_stable=True, num_keys=1,
+    )
+    return (r0.reshape(b, k), r1.reshape(b, k), r2.reshape(b, k))

@@ -184,3 +184,46 @@ def test_integrator_end_to_end_matches_gather(filt, exact):
     else:
         err = np.abs(frames["gather"] - frames["mxu"]).max()
         assert err <= 1.5 / 255.0, err
+
+
+def test_rebin_subwave_bilinear_within_weight_quant():
+    """The window-cell-sorted fallback sub-wave holds the SAME contract
+    as the unsorted sampler: ≤1 u8 LSB from the 4-tap gather reference on
+    miss lanes (sorting shifts which lanes ride the bf16-weight MXU path
+    vs the exact gather fallback, so rebin-vs-unrebinned is not bitwise —
+    both are pinned to the gather reference instead)."""
+    rng = np.random.RandomState(7)
+    p = 16
+    # mixed wave: coherent packets + scattered secondary-miss packets
+    # (the divergent half forces the compacted fallback; budget =
+    # min(p, max(32, p//8)) = p covers it → rebin path taken)
+    coh = _coherent_dirs(rng, p // 2)
+    div = _divergent_dirs(rng, p // 2)
+    dirs = tuple(jnp.concatenate([a, b]) for a, b in zip(coh, div))
+    miss = jnp.asarray(rng.rand(p, PACKET_K) < 0.6)
+    want = sample_cubemap_u32(_sky(), H, W, dirs)
+    m = np.asarray(miss)
+    for rebin in (True, False):
+        got = sample_cubemap_u32_mxu(_sky(), H, W, dirs, miss, rebin=rebin)
+        for c in range(3):
+            err = np.abs(np.asarray(got[c])[m] - np.asarray(want[c])[m])
+            assert err.max() <= 1.5 / 255.0, \
+                f"rebin={rebin} channel {c}: {err.max()}"
+
+
+def test_rebin_subwave_nearest_exact():
+    """Nearest mode stays BIT-IDENTICAL through the re-binned fallback
+    (one-hot MXU taps and gather taps are both exact)."""
+    rng = np.random.RandomState(11)
+    p = 16
+    coh = _coherent_dirs(rng, p // 2)
+    div = _divergent_dirs(rng, p // 2)
+    dirs = tuple(jnp.concatenate([a, b]) for a, b in zip(coh, div))
+    miss = jnp.asarray(rng.rand(p, PACKET_K) < 0.6)
+    got = sample_cubemap_u32_nearest_mxu(_sky(), H, W, dirs, miss,
+                                         rebin=True)
+    want = sample_cubemap_u32_nearest(_sky(), H, W, dirs)
+    m = np.asarray(miss)
+    for c in range(3):
+        g, w_ = np.asarray(got[c]), np.asarray(want[c])
+        assert np.array_equal(g[m], w_[m]), f"channel {c} mismatch"
