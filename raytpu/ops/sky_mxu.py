@@ -121,8 +121,8 @@ def _kernel(
     facel_ref,     # (SKY_SUPER, 1, 1024) VMEM i32: face per lane
     sky_ref,       # (6h, w) HBM u32: packed RGB8 cube map
     out_ref,       # (3, SKY_SUPER, 1, 1024) VMEM f32: RGB out
-    win_ref,       # (WIN_H, WIN_W) VMEM u32 scratch
-    sem,           # DMA semaphore
+    win_ref,       # (SKY_SUPER, MAX_FACES, WIN_H, WIN_W) VMEM u32 scratch
+    sem,           # (SKY_SUPER, MAX_FACES) DMA semaphores
     *,
     num_packets: int,
     bilinear: bool,
@@ -141,6 +141,18 @@ def _kernel(
     packets.
     """
     out_ref[...] = jnp.zeros((3, SKY_SUPER, 1, PACKET_K), jnp.float32)
+    # phase 1: ISSUE every live window DMA of the grid step before any
+    # compute — serialized start();wait() pairs made the kernel DMA-
+    # latency-bound on divergent waves (up to 12 windows per step, each
+    # paying its full HBM round-trip; measured ~13 ms of config5's
+    # 31 ms frame). With SKY_SUPER*MAX_FACES scratch windows + a
+    # semaphore array, all 12 copies are in flight together.
+    for sub in range(SKY_SUPER):
+        _issue_one(
+            sub, do_ref, nw_ref, row0d8_ref, x0d128_ref, sky_ref,
+            win_ref, sem, num_packets=num_packets,
+        )
+    # phase 2: wait + evaluate per window
     for sub in range(SKY_SUPER):
         _kernel_one(
             sub, do_ref, nw_ref, facew_ref, row0d8_ref, x0d128_ref,
@@ -148,6 +160,34 @@ def _kernel(
             out_ref, win_ref, sem,
             num_packets=num_packets, bilinear=bilinear,
         )
+
+
+def _win_copy(sky_ref, win_ref, sem, sub, wslot, row0d8, x0d128):
+    """The (sub, wslot) window's async copy descriptor (built identically
+    at issue and wait sites; indices are static, coords SMEM scalars)."""
+    return pltpu.make_async_copy(
+        # ×8 / ×128 prove sublane/lane-tile alignment to Mosaic
+        sky_ref.at[pl.ds(row0d8 * 8, WIN_H),
+                   pl.ds(x0d128 * K_LANE, WIN_W)],
+        win_ref.at[sub, wslot],
+        sem.at[sub, wslot],
+    )
+
+
+def _issue_one(sub, do_ref, nw_ref, row0d8_ref, x0d128_ref, sky_ref,
+               win_ref, sem, *, num_packets: int):
+    """Start every live window DMA for one of the step's packets."""
+    raw = pl.program_id(0) * SKY_SUPER + sub
+    pid = jnp.minimum(raw, num_packets - 1)
+
+    @pl.when((raw < num_packets) & (do_ref[pid] != 0))
+    def _():
+        for wslot in range(MAX_FACES):
+            @pl.when(wslot < nw_ref[pid])
+            def _():
+                si = wslot * num_packets + pid
+                _win_copy(sky_ref, win_ref, sem, sub, wslot,
+                          row0d8_ref[si], x0d128_ref[si]).start()
 
 
 def _kernel_one(
@@ -173,18 +213,13 @@ def _kernel_one(
                 x0 = x0d128_ref[si] * K_LANE  # ×128 proves lane-tile alignment
                 n_rt = 1 + span2_ref[0, si]   # live row tiles (1..2)
                 n_ct = 1 + span2_ref[1, si]   # live col tiles (1..2)
-                cp = pltpu.make_async_copy(
-                    # ×8 proves sublane-tile alignment to Mosaic
-                    sky_ref.at[pl.ds(row0d8_ref[si] * 8, WIN_H),
-                               pl.ds(x0, WIN_W)],
-                    win_ref,
-                    sem,
-                )
-                cp.start()
-                cp.wait()
+                # the copy was started in the issue phase (_issue_one)
+                _win_copy(sky_ref, win_ref, sem, sub, wslot,
+                          row0d8_ref[si], x0d128_ref[si]).wait()
 
                 def chan_tile(rt, ct):       # 3 × (RT, CT) bf16
-                    w32 = win_ref[rt * ROW_TILE:(rt + 1) * ROW_TILE,
+                    w32 = win_ref[sub, wslot,
+                                  rt * ROW_TILE:(rt + 1) * ROW_TILE,
                                   ct * COL_TILE:(ct + 1) * COL_TILE]
                     return [
                         ((w32 >> sh) & 0xFF)
@@ -406,8 +441,10 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
         ),
         out_shape=jax.ShapeDtypeStruct((3, p, 1, PACKET_K), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WIN_H, WIN_W), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
+            # one window buffer + DMA semaphore per (packet, slot) of the
+            # grid step, so every window copy is in flight at once
+            pltpu.VMEM((SKY_SUPER, MAX_FACES, WIN_H, WIN_W), jnp.uint32),
+            pltpu.SemaphoreType.DMA((SKY_SUPER, MAX_FACES)),
         ],
         interpret=jax.default_backend() != "tpu",
     )(
