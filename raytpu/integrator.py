@@ -282,20 +282,24 @@ def _trace_sample(
         SAMPLE_DECAY ** sample_idx.astype(jnp.float32), (p, k)
     )
     sky_h, sky_w = static.sky_hw
-    zero = jnp.zeros((p, k), jnp.float32)
     # DEFERRED skybox: each lane misses at most once, so record the miss
-    # direction during the loop and do the (expensive, per-lane-gather)
-    # cubemap fetch exactly ONCE per sample wave after the loop — instead of
-    # once per bounce iteration. Semantics identical: on miss the color is
-    # REPLACED by the skybox and the lane terminates (:90-94).
+    # during the loop and do the (expensive) cubemap fetch exactly ONCE
+    # per sample wave after the loop — instead of once per bounce
+    # iteration. Semantics identical: on miss the color is REPLACED by
+    # the skybox and the lane terminates (:90-94).
+    # NO miss-direction carry: a lane misses at most once and goes
+    # inactive forever, and ``d`` is only rewritten on live mirror/refract
+    # continuations — so at loop exit ``d`` IS the recorded miss direction
+    # for every miss_rec lane, exactly (the final fetch masks non-miss
+    # lanes to a fixed direction through miss_rec anyway). Dropping the
+    # 3-plane carry shrinks the loop state 14 → 11 (P, K) planes.
     miss_rec = jnp.zeros((p, k), bool)
-    miss_dir = (zero, zero, zero + 1.0)
 
     def cond(state):
-        j, _, _, _, active, _, _ = state
+        j, _, _, _, active, _ = state
         return (j <= rs.max_bounce_count) & jnp.any(active)  # inclusive :84
 
-    def bounce_core(o, d, tmp, active, miss_rec, miss_dir, decay_, sparse,
+    def bounce_core(o, d, tmp, active, miss_rec, decay_, sparse,
                     tier="loop"):
         """One bounce iteration's work at the width of its inputs: closest
         trace, miss recording, shadow + Blinn-Phong, mirror/refract
@@ -309,9 +313,9 @@ def _trace_sample(
         hit_mask = active & hit.is_hit
         miss_mask = active & ~hit.is_hit
 
-        # --- miss → record direction for the deferred skybox fetch ---
+        # --- miss → flag for the deferred skybox fetch (direction = the
+        # lane's final d; see the no-carry note above) ---
         miss_rec = miss_rec | miss_mask
-        miss_dir = v3.where(miss_mask, d, miss_dir)
 
         # --- hit attributes (normal + material merged by the tracer) ---
         pos = v3.add(o, v3.scale(hit.t, d))
@@ -363,14 +367,14 @@ def _trace_sample(
         cont = is_mirror | is_refract
         o = v3.where(cont, v3.where(is_mirror, o_m, o_r), o)
         d = v3.where(cont, v3.where(is_mirror, d_m, d_r), d)
-        return o, d, tmp, cont, miss_rec, miss_dir
+        return o, d, tmp, cont, miss_rec
 
     def body(state, sparse=rs.divergence, tier="loop"):
-        j, o, d, tmp, active, miss_rec, miss_dir = state
-        o, d, tmp, cont, miss_rec, miss_dir = bounce_core(
-            o, d, tmp, active, miss_rec, miss_dir, decay, sparse, tier
+        j, o, d, tmp, active, miss_rec = state
+        o, d, tmp, cont, miss_rec = bounce_core(
+            o, d, tmp, active, miss_rec, decay, sparse, tier
         )
-        return j + 1, o, d, tmp, cont, miss_rec, miss_dir
+        return j + 1, o, d, tmp, cont, miss_rec
 
     budget = _wave_budget(p) if rs.wavefront == "compact" else 0
 
@@ -387,7 +391,7 @@ def _trace_sample(
         Per-lane results are permutation-invariant, so this is
         bit-identical to the full-width body (overlapping tail waves
         recompute identical values)."""
-        j, o, d, tmp, active, miss_rec, miss_dir = state
+        j, o, d, tmp, active, miss_rec = state
         packet_live = jnp.any(active, axis=1)
         order = jnp.argsort(~packet_live, stable=True)      # live first
         inv = jnp.argsort(order, stable=True)
@@ -397,8 +401,7 @@ def _trace_sample(
 
         planes = (
             g(o[0]), g(o[1]), g(o[2]), g(d[0]), g(d[1]), g(d[2]),
-            g(tmp[0]), g(tmp[1]), g(tmp[2]), g(active),
-            g(miss_rec), g(miss_dir[0]), g(miss_dir[1]), g(miss_dir[2]),
+            g(tmp[0]), g(tmp[1]), g(tmp[2]), g(active), g(miss_rec),
         )
         decay_p = g(decay)
         n_live = jnp.sum(packet_live, dtype=jnp.int32)
@@ -410,12 +413,11 @@ def _trace_sample(
             def sl(x):
                 return jax.lax.dynamic_slice_in_dim(x, start, budget, 0)
 
-            (ox, oy, oz, dx, dy, dz, t0, t1, t2, act, mr,
-             mdx_, mdy_, mdz_) = planes
-            ow, dw, tw, cw, mrw, mdw = bounce_core(
+            (ox, oy, oz, dx, dy, dz, t0, t1, t2, act, mr) = planes
+            ow, dw, tw, cw, mrw = bounce_core(
                 (sl(ox), sl(oy), sl(oz)), (sl(dx), sl(dy), sl(dz)),
                 (sl(t0), sl(t1), sl(t2)), sl(act), sl(mr),
-                (sl(mdx_), sl(mdy_), sl(mdz_)), sl(decay_p), rs.divergence
+                sl(decay_p), rs.divergence
             )
             upd = jax.lax.dynamic_update_slice_in_dim
             return (
@@ -424,8 +426,7 @@ def _trace_sample(
                 upd(dy, dw[1], start, 0), upd(dz, dw[2], start, 0),
                 upd(t0, tw[0], start, 0), upd(t1, tw[1], start, 0),
                 upd(t2, tw[2], start, 0), upd(act, cw, start, 0),
-                upd(mr, mrw, start, 0), upd(mdx_, mdw[0], start, 0),
-                upd(mdy_, mdw[1], start, 0), upd(mdz_, mdw[2], start, 0),
+                upd(mr, mrw, start, 0),
             )
 
         planes = jax.lax.while_loop(
@@ -437,12 +438,10 @@ def _trace_sample(
         def u(x):
             return jnp.take(x, inv, axis=0)
 
-        (ox, oy, oz, dx, dy, dz, t0, t1, t2, act, mr, mdx_, mdy_,
-         mdz_) = planes
+        (ox, oy, oz, dx, dy, dz, t0, t1, t2, act, mr) = planes
         return (
             j + 1, (u(ox), u(oy), u(oz)), (u(dx), u(dy), u(dz)),
             (u(t0), u(t1), u(t2)), u(act), u(mr),
-            (u(mdx_), u(mdy_), u(mdz_)),
         )
 
     # j=0 is peeled out of the loop when the loop body differs from the
@@ -459,7 +458,7 @@ def _trace_sample(
     peel = bool(budget) or hybrid or rs.divergence == "sort" or (
         rs.divergence == "split" and group in (2, 4)
     )
-    state0 = (jnp.int32(0), o, d, tmp, active0, miss_rec, miss_dir)
+    state0 = (jnp.int32(0), o, d, tmp, active0, miss_rec)
     if peel:
         state0 = body(state0, sparse="off",
                       tier="primary" if hybrid else "loop")
@@ -472,24 +471,26 @@ def _trace_sample(
         state = state0
         for _ in range(1 if peel else 0, rs.max_bounce_count + 1):
             state = body(state)
-        _, _, _, tmp, _, miss_rec, miss_dir = state
+        _, _, d, tmp, _, miss_rec = state
     else:
-        _, _, _, tmp, _, miss_rec, miss_dir = jax.lax.while_loop(
+        _, _, d, tmp, _, miss_rec = jax.lax.while_loop(
             cond, body_compact if budget else body, state0
         )
     if rs.validation:
-        # per-frame in-jit NaN guard on the accumulated radiance + recorded
-        # miss directions (synchronization-validation analog, SURVEY.md §5)
+        # per-frame in-jit NaN guard on the accumulated radiance + final
+        # ray directions (synchronization-validation analog, SURVEY.md §5)
         from raytpu.utils.validation import jit_guard
 
         tmp = jit_guard(tmp, "bounce-loop radiance")
-        miss_dir = jit_guard(miss_dir, "miss directions")
-    # deferred skybox fetch (:90-94), z-flipped lookup; non-miss lanes
-    # point at a fixed direction so their (masked-out) gather taps all hit
-    # the same HBM line — the gather is random-access bound
-    mdx = jnp.where(miss_rec, miss_dir[0], 0.0)
-    mdy = jnp.where(miss_rec, miss_dir[1], 0.0)
-    mdz = jnp.where(miss_rec, -miss_dir[2], 1.0)
+        d = jit_guard(d, "final ray directions")
+    # deferred skybox fetch (:90-94), z-flipped lookup; the exit-time d IS
+    # each miss lane's miss direction (see the no-carry note above), and
+    # non-miss lanes point at a fixed direction so their (masked-out)
+    # gather taps all hit the same HBM line — the gather is random-access
+    # bound
+    mdx = jnp.where(miss_rec, d[0], 0.0)
+    mdy = jnp.where(miss_rec, d[1], 0.0)
+    mdz = jnp.where(miss_rec, -d[2], 1.0)
     if rs.skybox_filter == "bilinear" and _use_mxu_sky(rs, k, sky_h, sky_w):
         # MXU texture unit (ops/sky_mxu.py): true bilinear via tent-weight
         # matmuls at single-tap cost. With bounces, reflected miss
