@@ -79,12 +79,12 @@ MAX_FACES = 3  # a convex pixel-tile frustum touches ≤3 cube faces (a corner)
 SKY_SUPER = 4  # packets per grid step (amortizes the per-step floor over
                # skipped no-miss packets)
 
-# Compacted-gather fallback budget = p // FALLBACK_DIV packets (min 32).
-# The compacted gather ALWAYS gathers `budget` packet rows when taken (its
-# shape is static under the lax.cond), so the budget trades adaptivity
-# (nbad > budget falls to the FULL per-lane gather over the whole wave)
-# against the compacted tier's own fixed cost. Module-level so probes can
-# sweep it (tools/r4_skybudget_ab.py).
+# LARGEST compacted-gather fallback tier = p // FALLBACK_DIV packets
+# (min 32). A taken tier always gathers its full static budget, so
+# _sample_mxu builds a ladder of quarter/half/full tiers and the frame
+# takes the smallest one covering the wave's actual bad-packet count
+# (nbad above the largest tier falls to the FULL per-lane gather).
+# Module-level so probes can sweep it (tools/r4_skybudget_ab.py).
 FALLBACK_DIV = 8
 # When true, _sample_mxu returns the per-wave bad-packet count broadcast
 # as the sky value instead of sampling (probe-only, never default; axon
@@ -384,7 +384,7 @@ def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
 
 
 def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
-                rebin: bool = True, fallback_div: int | None = None):
+                rebin: bool = False, fallback_div: int | None = None):
     x, y, z = dirs
     p, k = x.shape
     assert mxu_supported(h, w, k), "caller must gate on mxu_supported()"
@@ -457,14 +457,13 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
     # --- packet-compacted gather fallback for divergent packets ---
     bad = anym & ~ok
     nbad = bad.sum()
-    budget = min(p, max(32, p // (fallback_div or FALLBACK_DIV)))
     if DEBUG_NBAD:
         # axon has no debug callbacks: smuggle the count out as the sky
         # value (every miss pixel reads nbad; probe takes frame.max())
         dbg = jnp.broadcast_to(nbad.astype(jnp.float32), (p, k))
         return (dbg, dbg, dbg)
 
-    def compacted():
+    def compacted(budget: int):
         idx = jnp.nonzero(bad, size=budget, fill_value=0)[0]
         # fill rows duplicate packet 0: they recompute packet 0's true sky,
         # so duplicate scatters all write the same (correct) value
@@ -488,20 +487,30 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
             jnp.where(use_mxu, mc, sc) for mc, sc in zip(mxu_rgb, scat)
         )
 
-    # nested conds: the common all-coherent wave pays neither gather
-    return jax.lax.cond(
-        nbad == 0,
-        lambda: mxu_rgb,
-        lambda: jax.lax.cond(
-            nbad <= budget,
-            compacted,
-            lambda: gather_fn(skybox_u32, h, w, dirs),
-        ),
-    )
+    # TIERED budgets: the compacted gather's cost is proportional to its
+    # STATIC budget, not to nbad — one p//8-sized tier gathered 1024
+    # packets for config4's measured nbad of 395 (2.6x oversized, ~34 ms
+    # of frame; config5 nbad=128 vs a 256 budget). A ladder of
+    # quarter/half/full budgets sizes the gather to the wave; unused
+    # tiers cost nothing at runtime.
+    div0 = fallback_div or FALLBACK_DIV
+    budgets = sorted({
+        min(p, max(32, p // (div0 * 4))),
+        min(p, max(32, p // (div0 * 2))),
+        min(p, max(32, p // div0)),
+    })
+
+    # nested conds, smallest tier innermost; the common all-coherent
+    # wave pays no gather at all
+    expr = lambda: gather_fn(skybox_u32, h, w, dirs)  # noqa: E731
+    for b in sorted(budgets, reverse=True):
+        expr = (lambda b=b, nxt=expr: jax.lax.cond(
+            nbad <= b, lambda: compacted(b), nxt))
+    return jax.lax.cond(nbad == 0, lambda: mxu_rgb, expr)
 
 
 def sample_cubemap_u32_nearest_mxu(skybox_u32, h: int, w: int, dirs, miss,
-                                   rebin: bool = True):
+                                   rebin: bool = False):
     """Single-tap lookup, bit-identical to ``sample_cubemap_u32_nearest``
     ON MISS LANES (one-hot MXU taps and gather taps are both exact, with
     or without the sub-wave re-binning).
@@ -514,7 +523,7 @@ def sample_cubemap_u32_nearest_mxu(skybox_u32, h: int, w: int, dirs, miss,
 
 
 def sample_cubemap_u32_mxu(skybox_u32, h: int, w: int, dirs, miss,
-                           rebin: bool = True):
+                           rebin: bool = False):
     """True bilinear via tent-weight matmuls — the reference's LINEAR
     sampler semantics (``src/main.cpp:2393-2406``), matching
     ``sample_cubemap_u32`` on miss lanes to within bf16 weight

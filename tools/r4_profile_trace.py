@@ -29,7 +29,10 @@ def main() -> int:
     from raytpu.render import Renderer
 
     preset = os.environ.get("TRACE_PRESET", "config5")
+    mb = os.environ.get("TRACE_MB", "")  # max_bounce_count override
     sc = load_preset_scene(preset)
+    if mb:
+        sc.config = sc.config.replace(max_bounce_count=int(mb))
     rr = Renderer(sc)
     rr.set_transforms(0.0)
     cam = jnp.asarray(rr.camera.basis())
@@ -73,11 +76,15 @@ def main() -> int:
         by_name[key] += dur
         cnt[key] += 1
         total += dur
+    # NOTE: durations are summed over the 3 traced frames — report
+    # PER-FRAME numbers (the raw totals misled round 3c: a ~0.55 ms/frame
+    # fusion was read as a 19 ms "gather fallback")
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:45]
-    print(json.dumps({"preset": preset, "sum_ms_all_events": round(total, 1)}))
+    print(json.dumps({"preset": preset, "mb": mb or "default",
+                      "sum_ms_per_frame_all_events": round(total / 3, 1)}))
     for k, v in top:
-        print(json.dumps({"op": k, "ms": round(v, 2), "n": cnt[k]}),
-              flush=True)
+        print(json.dumps({"op": k, "ms_per_frame": round(v / 3, 2),
+                          "n": cnt[k]}), flush=True)
     return 0
 
 
