@@ -63,6 +63,12 @@ class DeviceScene(NamedTuple):
     # 2x bilinear-prefiltered packed map: single-tap sampling with at most
     # a quarter-texel error vs true bilinear (the default filter)
     skybox_u32_2x: Optional[jnp.ndarray] = None  # (6*2H*2W,) uint32
+    # per-channel QUAD-packed map: word at (f,y,x) holds one channel's full
+    # clamp-to-edge 2x2 bilinear footprint (c[y,x] | c[y,x1]<<8 |
+    # c[y1,x]<<16 | c[y1,x1]<<24) — exact bilinear from THREE gathers per
+    # lane (one per channel) instead of four taps; the gather cost of the
+    # MXU sky sampler's divergent-packet fallback is per-tap latency-bound
+    skybox_quad: Optional[jnp.ndarray] = None  # (3, 6*H*W) uint32
 
     # acceleration structure arrays (None until attached by raytpu.accel):
     # threaded (skip-link) BVH, concatenated over meshes
@@ -216,6 +222,17 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         sky8[..., 0] | (sky8[..., 1] << 8) | (sky8[..., 2] << 16)
     ).reshape(-1)  # (6*H*W,)
 
+    # per-channel quad-packed map (see DeviceScene.skybox_quad): the four
+    # clamp-to-edge bilinear taps of one channel in one word
+    quad = np.empty((3,) + sky8.shape[:3], np.uint32)
+    for c in range(3):
+        ch = sky8[..., c]                                     # (6, H, W)
+        chx = np.concatenate([ch[:, :, 1:], ch[:, :, -1:]], axis=2)
+        chy = np.concatenate([ch[:, 1:, :], ch[:, -1:, :]], axis=1)
+        chxy = np.concatenate([chx[:, 1:, :], chx[:, -1:, :]], axis=1)
+        quad[c] = ch | (chx << 8) | (chy << 16) | (chxy << 24)
+    skybox_quad = quad.reshape(3, -1)
+
     # 2x bilinear prefilter: sample positions land on the half-texel grid,
     # so a nearest tap here == bilinear with weights quantized to {0,.5,1}.
     # Separable and per-face in float32 to keep host memory bounded
@@ -260,6 +277,7 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         tri_n_soa=jnp.asarray(tri_n_soa),
         skybox_u32=jnp.asarray(skybox_u32),
         skybox_u32_2x=jnp.asarray(skybox_u32_2x),
+        skybox_quad=jnp.asarray(skybox_quad),
     )
 
     prim_ranges = []

@@ -488,19 +488,22 @@ def _trace_sample(
     # non-miss lanes point at a fixed direction so their (masked-out)
     # gather taps all hit the same HBM line — the gather is random-access
     # bound
-    mdx = jnp.where(miss_rec, d[0], 0.0)
-    mdy = jnp.where(miss_rec, d[1], 0.0)
-    mdz = jnp.where(miss_rec, -d[2], 1.0)
+    missed = miss_rec
+    mdx = jnp.where(missed, d[0], 0.0)
+    mdy = jnp.where(missed, d[1], 0.0)
+    mdz = jnp.where(missed, -d[2], 1.0)
     if rs.skybox_filter == "bilinear" and _use_mxu_sky(rs, k, sky_h, sky_w):
         # MXU texture unit (ops/sky_mxu.py): true bilinear via tent-weight
-        # matmuls at single-tap cost. With bounces, reflected miss
-        # directions scatter and fall off the per-packet windows onto the
-        # compacted gather fallback; window-cell lane re-binning of that
-        # sub-wave keeps it on the MXU path (same ≤1 u8 LSB sampler
-        # contract; see sky_mxu._rebin_subwave).
+        # matmuls at single-tap cost; divergent packets take its tiered
+        # compacted-gather fallback. (Splitting this fetch by miss class —
+        # j=0 coherent vs j≥1 scattered — was measured-REJECTED on chip:
+        # config4 160.7 → 172.0, config5 20.3 → 21.5. The second analyze
+        # + kernel pass costs more than it saves because the compacted
+        # gather's cost is a per-tap floor insensitive to how many of its
+        # lanes are masked duplicates; see docs/roadmap.md round-3e.)
         sky = sky_mxu.sample_cubemap_u32_mxu(
-            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz), miss_rec,
-            rebin=_use_sky_rebin(rs),
+            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz), missed,
+            rebin=_use_sky_rebin(rs), quad=scene.skybox_quad,
         )
     elif rs.skybox_filter == "bilinear":
         sky = sample_cubemap_u32(
@@ -514,7 +517,7 @@ def _trace_sample(
         sky = sample_cubemap_u32_nearest(
             scene.skybox_u32_2x, 2 * sky_h, 2 * sky_w, (mdx, mdy, mdz)
         )
-    return v3.where(miss_rec, sky, tmp)
+    return v3.where(missed, sky, tmp)
 
 
 def render_packets(

@@ -140,6 +140,48 @@ def sample_cubemap_u32(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
     return tuple(out)
 
 
+def sample_cubemap_u32_quad(skybox_quad: jnp.ndarray, h: int, w: int, dirs):
+    """Bilinear lookup from the per-channel QUAD-packed map: THREE gathers
+    per lane (one per channel) instead of four taps.
+
+    ``skybox_quad``: (3, 6·H·W) uint32, word (c, f·H·W + y·W + x) =
+    ``c[y,x] | c[y,x1]<<8 | c[y1,x]<<16 | c[y1,x1]<<24`` with clamp-to-edge
+    x1/y1 (built in ``device_scene.build_device_scene``). BIT-IDENTICAL to
+    :func:`sample_cubemap_u32`: same texel bytes, same unpack constants,
+    same weight-combine order. The per-lane gather is latency-bound per
+    TAP (docs/roadmap.md round-3e), so packing a channel's whole 2x2
+    bilinear footprint into one word is a straight 4→3 tap cut on the MXU
+    sky sampler's divergent-packet fallback.
+    """
+    face, s, t = face_st(*dirs)
+    x0c, x1c, y0c, y1c, wx, wy = _bilinear_coords(s, t, h, w)
+    del x1c, y1c  # the quad word holds the HIGH-clamped +1 taps
+    # LOW-edge clamp (floor lands at -1, both taps collapse onto texel 0):
+    # the quad word at the clamped origin still holds texel 1 / row 1 in
+    # its +1 slots, so select the collapsed taps explicitly — keeps the
+    # weight-combine arithmetic identical to sample_cubemap_u32 (which
+    # blends the DUPLICATED tap with the same nonzero weight there)
+    x_edge = jnp.floor(s * w - 0.5) < 0.0
+    y_edge = jnp.floor(t * h - 0.5) < 0.0
+    idx = face * (h * w) + y0c * w + x0c
+    inv = jnp.float32(1.0 / 255.0)
+    out = []
+    for c in range(3):
+        word = jnp.take(skybox_quad[c], idx, axis=0)
+        c00 = (word & 0xFF).astype(jnp.float32) * inv
+        c01 = ((word >> 8) & 0xFF).astype(jnp.float32) * inv
+        c10 = ((word >> 16) & 0xFF).astype(jnp.float32) * inv
+        c11 = ((word >> 24) & 0xFF).astype(jnp.float32) * inv
+        c01 = jnp.where(x_edge, c00, c01)
+        c11 = jnp.where(x_edge, c10, c11)
+        c10 = jnp.where(y_edge, c00, c10)
+        c11 = jnp.where(y_edge, c01, c11)
+        top = c00 * (1 - wx) + c01 * wx
+        bot = c10 * (1 - wx) + c11 * wx
+        out.append(top * (1 - wy) + bot * wy)
+    return tuple(out)
+
+
 def sample_cubemap_soa(skybox_soa: jnp.ndarray, h: int, w: int, dirs):
     """Component-SoA bilinear cube-map lookup from float channel planes.
 

@@ -63,6 +63,7 @@ from raytpu.ops.sky import (
     face_st,
     sample_cubemap_u32,
     sample_cubemap_u32_nearest,
+    sample_cubemap_u32_quad,
 )
 
 K_SUB = 8
@@ -115,7 +116,7 @@ def _kernel(
     row0d8_ref,    # (3P,) SMEM i32: global window row / 8
     x0d128_ref,    # (3P,) SMEM i32: window col / 128
     y0l_ref,       # (3P,) SMEM i32: face-local window row origin
-    span2_ref,     # (2, 3P) SMEM i32: [0]=needs row tile 1, [1]=col tile 1
+    span2_ref,     # (2, 3P) SMEM i32: extra row/col tiles beyond tile 0
     yc_ref,        # (SKY_SUPER, 1, 1024) VMEM: texel row per lane
     xc_ref,        # (SKY_SUPER, 1, 1024) VMEM: texel col per lane
     facel_ref,     # (SKY_SUPER, 1, 1024) VMEM i32: face per lane
@@ -211,8 +212,8 @@ def _kernel_one(
                 fw = facew_ref[si]
                 y0 = y0l_ref[si]
                 x0 = x0d128_ref[si] * K_LANE  # ×128 proves lane-tile alignment
-                n_rt = 1 + span2_ref[0, si]   # live row tiles (1..2)
-                n_ct = 1 + span2_ref[1, si]   # live col tiles (1..2)
+                n_rt = 1 + span2_ref[0, si]   # live row tiles
+                n_ct = 1 + span2_ref[1, si]   # live col tiles
                 # the copy was started in the issue phase (_issue_one)
                 _win_copy(sky_ref, win_ref, sem, sub, wslot,
                           row0d8_ref[si], x0d128_ref[si]).wait()
@@ -265,7 +266,9 @@ def _kernel_one(
                 for rt in range(WIN_H // ROW_TILE):
                     def tile_val(val, rt=rt):
                         a = row_w(rt)
-                        # M[r,l] = Σ_c T[r,c]·b[c,l] per column tile
+                        # M[r,l] = Σ_c T[r,c]·b[c,l] per column tile;
+                        # tiles past the packet's span (ct >= n_ct) are
+                        # predicated off — their weights are exactly zero
                         ts = chan_tile(rt, 0)
                         ms = [
                             jax.lax.dot_general(
@@ -274,21 +277,21 @@ def _kernel_one(
                             )
                             for t in ts
                         ]                            # (RT, 1024)
+                        for ct in range(1, WIN_W // COL_TILE):
+                            def add_ct(ms, ct=ct):
+                                b = col_w(ct)
+                                ts1 = chan_tile(rt, ct)
+                                return [
+                                    m + jax.lax.dot_general(
+                                        t, b, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32,
+                                    )
+                                    for m, t in zip(ms, ts1)
+                                ]
 
-                        def add_ct1(ms):
-                            b1 = col_w(1)
-                            ts1 = chan_tile(rt, 1)
-                            return [
-                                m + jax.lax.dot_general(
-                                    t, b1, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                )
-                                for m, t in zip(ms, ts1)
-                            ]
-
-                        ms = jax.lax.cond(
-                            n_ct > 1, add_ct1, lambda ms: ms, ms
-                        )
+                            ms = jax.lax.cond(
+                                n_ct > ct, add_ct, lambda ms: ms, ms
+                            )
                         return [
                             v + jnp.sum(a * m, axis=0, keepdims=True)
                             for v, m in zip(val, ms)
@@ -365,10 +368,12 @@ def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
         row0d8.append((f_safe * h + y0) // K_SUB)
         x0d128.append(x0 // K_LANE)
         y0l.append(y0)
-        # second row/column tile needed only when the span crosses it
-        # (empty slots: spans are negative → 0)
-        rt1.append((ymax - y0 >= ROW_TILE).astype(jnp.int32))
-        ct1.append((xmax - x0 >= COL_TILE).astype(jnp.int32))
+        # extra row/column tiles covering the span beyond tile 0 (the
+        # kernel runs 1 + this many; empty slots: spans are negative →
+        # floor-div gives -1 → zero tiles run, which writes nothing
+        # since no lane selects the slot's face)
+        rt1.append((ymax - y0) // ROW_TILE)
+        ct1.append((xmax - x0) // COL_TILE)
     return (
         ok,
         jnp.minimum(cnt, MAX_FACES),
@@ -384,7 +389,8 @@ def _analyze(face, ylo, yhi, xlo, xhi, miss, h: int, w: int):
 
 
 def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
-                rebin: bool = False, fallback_div: int | None = None):
+                rebin: bool = False, fallback_div: int | None = None,
+                quad=None):
     x, y, z = dirs
     p, k = x.shape
     assert mxu_supported(h, w, k), "caller must gate on mxu_supported()"
@@ -399,7 +405,13 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
         xhi = jnp.minimum(xlo + 1, w - 1)
         yhi = jnp.minimum(ylo + 1, h - 1)
         lane_y, lane_x = fy, fx
-        gather_fn = sample_cubemap_u32
+        if quad is not None:
+            # 3 gathers (per-channel quad words) instead of 4 taps; the
+            # fallback gather is latency-bound per tap (roadmap round-3e)
+            def gather_fn(_, h_, w_, dirs_):
+                return sample_cubemap_u32_quad(quad, h_, w_, dirs_)
+        else:
+            gather_fn = sample_cubemap_u32
     else:
         xc = jnp.clip(jnp.floor(s * w).astype(jnp.int32), 0, w - 1)
         yc = jnp.clip(jnp.floor(t * h).astype(jnp.int32), 0, h - 1)
@@ -475,7 +487,8 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
             # into the sort's sink bucket is value-preserving
             sub_miss = jnp.take(miss, idx, axis=0)
             sub_sky = _rebin_subwave(
-                skybox_u32, h, w, sub, sub_miss, bilinear=bilinear
+                skybox_u32, h, w, sub, sub_miss, bilinear=bilinear,
+                quad=quad,
             )
         else:
             sub_sky = gather_fn(skybox_u32, h, w, sub)
@@ -510,7 +523,7 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
 
 
 def sample_cubemap_u32_nearest_mxu(skybox_u32, h: int, w: int, dirs, miss,
-                                   rebin: bool = False):
+                                   rebin: bool = False):  # no quad: 1 tap
     """Single-tap lookup, bit-identical to ``sample_cubemap_u32_nearest``
     ON MISS LANES (one-hot MXU taps and gather taps are both exact, with
     or without the sub-wave re-binning).
@@ -523,7 +536,7 @@ def sample_cubemap_u32_nearest_mxu(skybox_u32, h: int, w: int, dirs, miss,
 
 
 def sample_cubemap_u32_mxu(skybox_u32, h: int, w: int, dirs, miss,
-                           rebin: bool = False):
+                           rebin: bool = False, quad=None):
     """True bilinear via tent-weight matmuls — the reference's LINEAR
     sampler semantics (``src/main.cpp:2393-2406``), matching
     ``sample_cubemap_u32`` on miss lanes to within bf16 weight
@@ -531,11 +544,11 @@ def sample_cubemap_u32_mxu(skybox_u32, h: int, w: int, dirs, miss,
     take the gather fallback. ``rebin`` enables window-cell lane
     re-binning of the compacted fallback sub-wave (``_rebin_subwave``)."""
     return _sample_mxu(skybox_u32, h, w, dirs, miss, bilinear=True,
-                       rebin=rebin)
+                       rebin=rebin, quad=quad)
 
 
 def _rebin_subwave(skybox_u32, h: int, w: int, dirs, miss, *,
-                   bilinear: bool):
+                   bilinear: bool, quad=None):
     """Window-cell lane re-binning of a compacted bad-packet sub-wave.
 
     Scattered secondary-bounce miss directions poison the per-packet
@@ -588,7 +601,7 @@ def _rebin_subwave(skybox_u32, h: int, w: int, dirs, miss, *,
     rgb_s = _sample_mxu(
         skybox_u32, h, w,
         (x_s.reshape(b, k), y_s.reshape(b, k), z_s.reshape(b, k)),
-        miss_s, bilinear=bilinear, rebin=False, fallback_div=4,
+        miss_s, bilinear=bilinear, rebin=False, fallback_div=4, quad=quad,
     )
     # restore original lane order: iota_s is a permutation, so a stable
     # sort keyed on it is the exact inverse

@@ -124,3 +124,82 @@ def test_bilinear2x_close_to_bilinear(rng):
         err = np.abs(np.asarray(exact[c]) - np.asarray(fast[c]))
         # quarter-texel of a smooth gradient + 8-bit quantization
         assert err.max() < 0.02, err.max()
+
+
+def test_quad_pack_bit_identical_to_four_tap():
+    """The per-channel quad-packed sampler (3 gathers) must be BIT-IDENTICAL
+    to sample_cubemap_u32 (4 taps): same texel bytes, same unpack constants,
+    same weight-combine order — including the low-edge clamp where both
+    taps collapse onto texel/row 0 (the quad word's +1 slots must be
+    overridden there, not just down-weighted)."""
+    from raytpu.ops.sky import sample_cubemap_u32, sample_cubemap_u32_quad
+
+    h = w = 16
+    rng = np.random.RandomState(3)
+    tex = rng.randint(0, 256, size=(6, h, w, 3)).astype(np.uint32)
+    packed = jnp.asarray(
+        (tex[..., 0] | (tex[..., 1] << 8) | (tex[..., 2] << 16)).reshape(-1)
+    )
+    quad = np.empty((3, 6, h, w), np.uint32)
+    for c in range(3):
+        ch = tex[..., c]
+        chx = np.concatenate([ch[:, :, 1:], ch[:, :, -1:]], axis=2)
+        chy = np.concatenate([ch[:, 1:, :], ch[:, -1:, :]], axis=1)
+        chxy = np.concatenate([chx[:, 1:, :], chx[:, -1:, :]], axis=1)
+        quad[c] = ch | (chx << 8) | (chy << 16) | (chxy << 24)
+    quad = jnp.asarray(quad.reshape(3, -1))
+
+    # random directions plus edge-hugging ones (s/t near 0 and 1 exercise
+    # the low/high clamp paths on every face)
+    d = rng.normal(size=(8192, 3)).astype(np.float32)
+    edge = []
+    for f in range(6):
+        ax = f // 2
+        sgn = 1.0 - 2.0 * (f % 2)
+        for su in (-0.999, -0.97, 0.0, 0.97, 0.999):
+            for tv in (-0.999, -0.97, 0.0, 0.97, 0.999):
+                v = np.zeros(3, np.float32)
+                v[ax] = sgn
+                v[(ax + 1) % 3] = su
+                v[(ax + 2) % 3] = tv
+                edge.append(v)
+    d = np.concatenate([d, np.asarray(edge, np.float32)])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = tuple(jnp.asarray(d[:, c]) for c in range(3))
+
+    want = sample_cubemap_u32(packed, h, w, dirs)
+    got = sample_cubemap_u32_quad(quad, h, w, dirs)
+    for c in range(3):
+        assert np.array_equal(np.asarray(got[c]), np.asarray(want[c])), c
+
+
+def test_device_scene_quad_table_matches_packed():
+    """build_device_scene's quad table agrees with the packed map texels."""
+    from raytpu.device_scene import build_device_scene
+    from raytpu.config import MaterialType, ObjectConfig, RenderConfig
+    from raytpu.io.obj import Mesh
+    from raytpu.scene import load_scene
+
+    size = 8
+    rng = np.random.RandomState(5)
+    sky = rng.rand(6, size, size, 3).astype(np.float32)
+    tri = Mesh(
+        positions=np.zeros((3, 3), np.float32),
+        normals=np.zeros((3, 3), np.float32),
+        triangles=np.array([[0, 1, 2]], np.int32), name="t",
+    )
+    cfg = RenderConfig(objects=(ObjectConfig("t", MaterialType.DIFFUSE),))
+    dev, _ = build_device_scene(load_scene(cfg, meshes=[tri], skybox=sky))
+    packed = np.asarray(dev.skybox_u32).reshape(6, size, size)
+    quadt = np.asarray(dev.skybox_quad).reshape(3, 6, size, size)
+    for c, sh in enumerate((0, 8, 16)):
+        ch = (packed >> sh) & 0xFF
+        assert np.array_equal(quadt[c] & 0xFF, ch)
+        assert np.array_equal(
+            (quadt[c] >> 8) & 0xFF,
+            np.concatenate([ch[:, :, 1:], ch[:, :, -1:]], axis=2),
+        )
+        assert np.array_equal(
+            (quadt[c] >> 16) & 0xFF,
+            np.concatenate([ch[:, 1:, :], ch[:, -1:, :]], axis=1),
+        )

@@ -227,3 +227,32 @@ def test_rebin_subwave_nearest_exact():
     for c in range(3):
         g, w_ = np.asarray(got[c]), np.asarray(want[c])
         assert np.array_equal(g[m], w_[m]), f"channel {c} mismatch"
+
+
+def test_quad_fallback_matches_four_tap_fallback():
+    """_sample_mxu with the quad table matches the 4-tap fallback to 1 f32
+    ulp (the quad sampler is bit-identical to sample_cubemap_u32 op-for-op
+    — test_sky.py asserts that un-jitted — but XLA contracts the filter
+    arithmetic into FMAs differently in the two fusion contexts, the same
+    1e-6 bound as test_bilinear_divergent_fallback_exact)."""
+    rng = np.random.RandomState(13)
+    p = 16
+    coh = _coherent_dirs(rng, p // 2)
+    div = _divergent_dirs(rng, p // 2)
+    dirs = tuple(jnp.concatenate([a, b]) for a, b in zip(coh, div))
+    miss = jnp.asarray(rng.rand(p, PACKET_K) < 0.6)
+    sky = np.asarray(_sky()).reshape(6, H, W)
+    quad = np.empty((3, 6, H, W), np.uint32)
+    for c, sh in enumerate((0, 8, 16)):
+        ch = (sky >> sh) & 0xFF
+        chx = np.concatenate([ch[:, :, 1:], ch[:, :, -1:]], axis=2)
+        chy = np.concatenate([ch[:, 1:, :], ch[:, -1:, :]], axis=1)
+        chxy = np.concatenate([chx[:, 1:, :], chx[:, -1:, :]], axis=1)
+        quad[c] = ch | (chx << 8) | (chy << 16) | (chxy << 24)
+    quad = jnp.asarray(quad.reshape(3, -1))
+    a = sample_cubemap_u32_mxu(_sky(), H, W, dirs, miss)
+    b = sample_cubemap_u32_mxu(_sky(), H, W, dirs, miss, quad=quad)
+    m = np.asarray(miss)
+    for c in range(3):
+        err = np.abs(np.asarray(a[c])[m] - np.asarray(b[c])[m]).max()
+        assert err <= 1e-6, (c, err)
