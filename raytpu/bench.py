@@ -367,6 +367,14 @@ def run_benchmark(
                             jnp.asarray(cam))
 
     mean_s, times = measure_frame(frame, warmup=1, iters=frames)
+    # fast frames need more pipelined iterations for an honest mean: the
+    # ~25 ms host->device dispatch fixed cost is amortized 1/iters into
+    # every number (config1 read 3.4 ms at 12 frames vs ~1.2 at 30+).
+    # Re-measure so the fixed cost is <~10% of the reported frame time;
+    # extra wall cost is bounded (fast frames by definition).
+    if mean_s * 1e3 < 20.0 and frames < 96:
+        iters2 = min(96, max(2 * frames, int(0.25 / max(mean_s, 1e-4))))
+        mean_s, times = measure_frame(frame, warmup=0, iters=iters2)
 
     mrays = rays / mean_s / 1e6 if count else None
     out = {

@@ -346,12 +346,28 @@ def _trace_sample(
                 tier=tier,
             )
 
-        occluded = jax.lax.cond(
-            jnp.any(lit_candidate),
-            do_shadow,
-            lambda _: jnp.zeros((pw, kw), bool),
-            operand=None,
-        )
+        # Shallow multi-sample bounce loops run the shadow sweep
+        # UNCONDITIONALLY: with a lit_candidate-masked window wave a
+        # no-candidate sweep's prepass culls every block (near-free),
+        # while the lax.cond skip-wrapper itself costs ~2 ms/iteration in
+        # conditional buffer/scheduling overhead on 1080p waves (per-frame
+        # op trace, docs/roadmap.md round-3e), and dense spp-folded waves
+        # virtually always have diffuse candidates every iteration
+        # (measured: config4 149.1 → 145.9 ms, config2 flat). Sparse
+        # spp=1 frames keep the skip — their late iterations are often
+        # all-specular and the skip wins (config5 regressed 20.5 → 21.8
+        # unconditionally), as do deep loops (the 63-bounce reference
+        # ping-pongs mirror/refract lanes with no diffuse candidates).
+        # Bit-identical either way: zero windows produce occ == 0 exactly.
+        if rs.max_bounce_count <= 4 and rs.samples_per_pixel > 1:
+            occluded = do_shadow(None)
+        else:
+            occluded = jax.lax.cond(
+                jnp.any(lit_candidate),
+                do_shadow,
+                lambda _: jnp.zeros((pw, kw), bool),
+                operand=None,
+            )
         phong = shade.blinn_phong_soa(n, l, v3.neg(d), scene.light_intensity)
         shade_mask = lit_candidate & ~occluded
         zero_ = jnp.zeros((pw, kw), jnp.float32)
