@@ -256,3 +256,29 @@ def test_quad_fallback_matches_four_tap_fallback():
     for c in range(3):
         err = np.abs(np.asarray(a[c])[m] - np.asarray(b[c])[m]).max()
         assert err <= 1e-6, (c, err)
+
+
+def test_sky_sampler_contract_on_tpu():
+    """TPU-only: a real-asset frame with the MXU sampler (windows + tiered
+    quad-gather fallback on the actual compiled path, not interpret mode)
+    must match the gather-forced frame to <=1.5/255 — the sampler-contract
+    analog of test_mega_bit_identity. Skipped off-TPU (interpret-mode
+    coverage above already pins the kernel math there)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("exercises the compiled MXU sampler path")
+    from raytpu.presets import load_preset_scene
+    from raytpu.render import Renderer
+    from raytpu.integrator import render_frame
+
+    imgs = {}
+    for sampler in ("mxu", "gather"):
+        sc = load_preset_scene("config2")
+        sc.config = sc.config.replace(width=256, height=192,
+                                      sky_sampler=sampler)
+        rr = Renderer(sc)
+        rr.set_transforms(0.0)
+        cam = jnp.asarray(rr.camera.basis())
+        imgs[sampler] = np.asarray(render_frame(
+            rr.device_scene, rr.static, rr.render_static, cam))
+    err = float(np.abs(imgs["mxu"] - imgs["gather"]).max())
+    assert err <= 1.5 / 255.0 + 1e-6, err
