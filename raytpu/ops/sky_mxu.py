@@ -34,11 +34,17 @@ Design (per 1024-ray packet = one (8,128) vector register per component):
    the packed word is NOT exact; measured on v5e).
 3. **Fallbacks**: divergent packets (secondary-bounce misses) are
    compacted by whole packets — contiguous 4KB-row gathers, not per-lane —
-   into a fixed-size buffer; that sub-wave is lane-sorted by WINDOW CELL
-   (``_rebin_subwave``) so most of it rides the MXU kernel again, with a
-   nested compacted per-lane gather for cell-straddling sorted packets.
-   If the bad-packet budget overflows, a nested ``lax.cond`` falls back
-   to the full gather sweep. Nearest mode is bit-identical to
+   into the smallest of a LADDER of static budgets covering the wave's
+   actual bad-packet count (a taken tier always gathers its full budget,
+   so tier size matters), then sampled exactly with ONE quad-packed
+   gather per channel (``sample_cubemap_u32_quad`` — the whole 2×2
+   bilinear footprint per word) instead of 4 taps. If even the largest
+   tier overflows, a nested ``lax.cond`` falls back to the full gather
+   sweep. The measured floor: the gather is latency-bound per random
+   tap, and bad packets are irreducibly divergent (window widening,
+   more face slots, lane re-binning, and miss-class splitting all
+   measured-failed to shrink them — docs/roadmap.md round-3e).
+   Nearest mode is bit-identical to
    :func:`raytpu.ops.sky.sample_cubemap_u32_nearest` on miss lanes in
    every tier; bilinear mode matches
    :func:`raytpu.ops.sky.sample_cubemap_u32` to within bf16 weight
@@ -143,11 +149,10 @@ def _kernel(
     """
     out_ref[...] = jnp.zeros((3, SKY_SUPER, 1, PACKET_K), jnp.float32)
     # phase 1: ISSUE every live window DMA of the grid step before any
-    # compute — serialized start();wait() pairs made the kernel DMA-
-    # latency-bound on divergent waves (up to 12 windows per step, each
-    # paying its full HBM round-trip; measured ~13 ms of config5's
-    # 31 ms frame). With SKY_SUPER*MAX_FACES scratch windows + a
-    # semaphore array, all 12 copies are in flight together.
+    # compute — serialized start();wait() pairs paid a full HBM round
+    # trip per window (up to 12 per grid step). With SKY_SUPER*MAX_FACES
+    # scratch windows + a semaphore array all 12 copies are in flight
+    # together (measured ~2.5 ms/frame on config4/reference).
     for sub in range(SKY_SUPER):
         _issue_one(
             sub, do_ref, nw_ref, row0d8_ref, x0d128_ref, sky_ref,
@@ -550,17 +555,20 @@ def sample_cubemap_u32_mxu(skybox_u32, h: int, w: int, dirs, miss,
 def _rebin_subwave(skybox_u32, h: int, w: int, dirs, miss, *,
                    bilinear: bool, quad=None):
     """Window-cell lane re-binning of a compacted bad-packet sub-wave.
+    Measured-REJECTED on chip, kept behind ``sky_rebin="on"`` (config5
+    31.1 → 35.8 ms, config4 166.6 → 209.1: the 1D sort cost scales
+    superlinearly with lanes, and the fallback packets' misses are
+    spread too thin for sorted packets to become window-pure — the
+    nested fallback re-gathers nearly everything; docs/roadmap.md
+    round-3d/3e).
 
-    Scattered secondary-bounce miss directions poison the per-packet
-    consensus windows — ONE divergent lane widens a packet's tap span
-    past the window budget and the whole 1024-lane packet falls to the
-    4-tap HBM gather (profiled at ~19 ms/frame on config5: the budget-
-    sized compacted gather was the single largest bucket of that frame,
-    ``tools/r4_profile_trace.py``). Sorting the sub-wave's lanes by
+    Design: scattered secondary-bounce miss directions poison the
+    per-packet consensus windows — ONE divergent lane widens a packet's
+    tap span past the window budget and the whole 1024-lane packet falls
+    to the compacted HBM gather. Sorting the sub-wave's lanes by
     WINDOW-CELL (face, 64-row, 256-col — exactly the window quantum)
-    makes almost every sorted packet window-pure, so the sub-wave rides
-    the MXU kernel; only cell-boundary-straddling packets (at most one
-    per cell touched) hit the nested gather fallback.
+    should make sorted packets window-pure, with only
+    cell-boundary-straddling packets hitting the nested gather fallback.
 
     Transport rides the sorts, not gathers: per-lane ``take_along_axis``
     permutes cost ~like the gather they'd replace (the v1 top-level
