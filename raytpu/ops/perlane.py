@@ -65,6 +65,7 @@ per-thread traversal stack the RT hardware gives each GPU thread.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -107,6 +108,41 @@ DONE = 127
 
 # deferred-leaf register queue depth per lane
 QD = 4
+
+# ---- pair-test walk (the default treelet walk since round 3f) ----
+# The original treelet step costs one gather round per VISITED node
+# (test own box, follow succ/skip). The pair-test step instead sits at an
+# ENTERED node and gathers BOTH children's boxes (2 words/axis, packed by
+# the PARENT's id so the dependent id→gather→slab→select chain stays one
+# gather deep) plus one link word: hit LEAF children are enqueued directly
+# at the parent step and failed children never get a step, so leaves and
+# box-fails stop consuming walk iterations. Exit chains are threaded PAST
+# leaf siblings at pack time (they were enqueued at the parent). Step
+# counts on the real sweeps (tools/r5_pairwalk_sim.py): 1.69-1.9× fewer
+# treelet steps, results exactly equal. On-chip frames
+# (tools/r5_pair_ab.py, one session per pair of legs): config4
+# 145.6 → 137.6 ms, config5 20.1 → 18.9, reference 81.1 → 75.4 — the
+# step-count cut lands ~6% at frame level because each pair step gathers
+# 7 words vs the visit-step's 4 (the walk is partly gather-throughput-
+# bound, not purely latency-bound).
+#
+# Bit-identity argument: a child's box is tested at the parent step with
+# the THEN-current best_t — never smaller than at the child's own later
+# step in the old order — so the entered/enqueued sets are supersets of
+# exact-walk requirements and subsets of what conservative slabs allow;
+# every extra Möller–Trumbore test sits outside the [tmin, best_t) window
+# by the box-containment argument and cannot win. Only tie ORDER among
+# exactly-coincident triangles can differ (the documented mega caveat).
+#
+# Link word: near | far<<7 | pexit<<14 | int_near<<21 | int_far<<22 |
+# cnt<<23 | swap<<26. near/far are octant-ordered child ids; pexit is the
+# leaf-skipping exit target; int_* flag interior children; cnt is the
+# node's OWN triangle count (drains gather it from the queued leaf's own
+# word); swap says the octant-near child is the build-order SECOND child
+# (the planes banks are octant-independent in build order — 8× fewer
+# words than per-octant boxes — and the step swaps the two slab results).
+PAIR_DEFAULT = os.environ.get("RAYTPU_PERLANE_PAIR", "1") != "0"
+MISS_WORD = np.int32(0x0000FFFF)  # q_lo=65535 > q_hi=0: always-miss slab
 
 # packets per per-lane walk: 4 slices of (8,128) interleave the dependent
 # gather chain (measured: 4 slices cost the same per iteration as 1)
@@ -234,7 +270,7 @@ def pack_link_word(
 
 
 def pack_perlane_tables(
-    chunks, normals: bool = True
+    chunks, normals: bool = True, pair: bool = False
 ) -> Tuple[Dict[str, np.ndarray], Tuple[int, int, int, int, int]]:
     """Pack per-chunk two-level tables for the per-lane sweeps.
 
@@ -261,6 +297,13 @@ def pack_perlane_tables(
     * ``mt``   (C, t_pad, rows_mt, 128) f32 — compact node-indexed
       Moller-Trumbore rows: slot k, coord c at row ``k*9+c`` (v0/e1/e2
       xyz), then normal rows at ``OFF_NRM_ROW + k*9 + c`` (closest set).
+
+    ``pair=True`` packs the pair-test format instead (see the PAIR_DEFAULT
+    note above): ``planes`` becomes (C, t_pad, 6, 8, 128) — axis slot
+    ``2a`` = build-order FIRST child's word, ``2a+1`` = SECOND child's
+    (leaves: own box / always-miss) — and ``links`` carries the pair word
+    ``near | far<<7 | pexit<<14 | int_n<<21 | int_f<<22 | cnt<<23 |
+    swap<<26`` per octant. The kernels dispatch on the planes shape.
     """
     pad_nodes = max(c["aabb_min"].shape[0] for c in chunks)
     box_len = _align(6 * pad_nodes)
@@ -279,13 +322,16 @@ def pack_perlane_tables(
     box = np.zeros((cN, box_len), np.float32)
     tidm = np.full((cN, tid_len), -1, np.int32)
     qsc = np.zeros((cN, qsc_len), np.float32)
-    planes = np.zeros((cN, t_pad, 3, 8, 128), np.int32)
-    # default link word: succ=skip=DONE, cnt=0 (self-loop, never pushes)
-    links = np.full(
-        (cN, OCTANTS, t_pad, 8, 128),
-        int(pack_link_word(np.int32(DONE), np.int32(DONE), np.int32(0))),
-        np.int32,
+    pw = 6 if pair else 3
+    planes = np.full((cN, t_pad, pw, 8, 128),
+                     int(MISS_WORD) if pair else 0, np.int32)
+    # default link word: self-loop at DONE, never pushes, cnt=0
+    default_word = (
+        int(DONE | (DONE << 7) | (DONE << 14)) if pair
+        else int(pack_link_word(np.int32(DONE), np.int32(DONE),
+                                np.int32(0)))
     )
+    links = np.full((cN, OCTANTS, t_pad, 8, 128), default_word, np.int32)
     mt = np.zeros((cN, t_pad, rows_mt, 128), np.float32)
 
     for ci, c in enumerate(chunks):
@@ -313,10 +359,13 @@ def pack_perlane_tables(
         tl = tid[in_t]
         ll = ids[in_t] - root[tl]
         assert ll.max(initial=0) <= NODE_CAP - 1
+        leaf = c["first"] >= 0
         for t in range(nt):
             sel = tid == t
             rt = root[t]
             llt = ids[sel] - rt
+            span = int(llt.size)
+            g = ids[sel]
             for a in range(3):
                 org = float(c["aabb_min"][rt, a])
                 ext = float(
@@ -328,9 +377,22 @@ def pack_perlane_tables(
                 w = ((q_hi.astype(np.int64) << 16)
                      | q_lo.astype(np.int64)).astype(np.uint32).view(
                          np.int32)
-                # indexed target is (len, 8) (advanced dims first):
-                # broadcast the words across the 8 sublanes
-                planes[ci, t, a, :, llt] = w[:, None]
+                if pair:
+                    # parent-indexed child slots, BUILD order; leaves get
+                    # (own box, always-miss)
+                    li = leaf[g]
+                    c1 = np.minimum(llt + 1, span - 1)
+                    c2 = np.minimum(
+                        c["miss"][np.minimum(g + 1, n - 1)] - rt, span - 1
+                    )
+                    s0 = np.where(li, w[llt], w[c1])
+                    s1 = np.where(li, MISS_WORD, w[np.maximum(c2, 0)])
+                    planes[ci, t, 2 * a, :, llt] = s0[:, None]
+                    planes[ci, t, 2 * a + 1, :, llt] = s1[:, None]
+                else:
+                    # indexed target is (len, 8) (advanced dims first):
+                    # broadcast the words across the 8 sublanes
+                    planes[ci, t, a, :, llt] = w[:, None]
                 qsc[ci, t * 8 + 2 * a] = np.float32(org)
                 qsc[ci, t * 8 + 2 * a + 1] = scale
 
@@ -347,13 +409,54 @@ def pack_perlane_tables(
             inside = (tgt < n) & (tid[tgt_c] == tl[None, :]) & (lo >= 0)
             return np.where(inside, lo, DONE)
 
-        sl = localize(succ)
-        kl = localize(skip)
-        cnt = np.maximum(c["count"][in_t], 0) * (c["first"][in_t] >= 0)
-        for o in range(OCTANTS):
-            links[ci, o, tl, :, ll] = pack_link_word(sl[o], kl[o], cnt)[
-                :, None
-            ]
+        if pair:
+            cnt_self = np.maximum(c["count"][in_t], 0) * leaf[in_t]
+            c1g = np.minimum(ids + 1, n - 1)
+            c2g = np.minimum(c["miss"][c1g], n - 1)
+            for o in range(OCTANTS):
+                so, ko = succ[o], skip[o]
+                near_g = np.where(leaf, ids, so)
+                swap = (~leaf) & (near_g == c2g)
+                far_g = np.where(leaf, ids, np.where(swap, c1g, c2g))
+                # exit chain: skip threaded PAST same-treelet leaf
+                # siblings (their MT tests happen at the parent step)
+                pe = ko.copy()
+                for _ in range(n):
+                    t_ = np.minimum(pe, n - 1)
+                    redo = (pe < n) & leaf[t_] & (tid[t_] == tid) & in_t
+                    if not redo.any():
+                        break
+                    pe = np.where(redo, ko[t_], pe)
+                nl = localize(near_g[None])[0]
+                fl = localize(far_g[None])[0]
+                pl_ = localize(pe[None])[0]
+                int_n = np.where(leaf[in_t], 0,
+                                 (~leaf[np.minimum(near_g[in_t], n - 1)])
+                                 .astype(np.int64))
+                int_f = np.where(leaf[in_t], 0,
+                                 (~leaf[np.minimum(far_g[in_t], n - 1)])
+                                 .astype(np.int64))
+                # leaves: pexit unused (never entered except as sites,
+                # where next is DONE anyway)
+                nl = np.where(leaf[in_t], ll, nl)
+                pl_ = np.where(leaf[in_t], DONE, pl_)
+                word = (
+                    nl.astype(np.int64)
+                    | (np.where(leaf[in_t], nl, fl).astype(np.int64) << 7)
+                    | (pl_.astype(np.int64) << 14)
+                    | (int_n << 21)
+                    | (int_f << 22)
+                    | (cnt_self.astype(np.int64) << 23)
+                    | (swap[in_t].astype(np.int64) << 26)
+                ).astype(np.int32)
+                links[ci, o, tl, :, ll] = word[:, None]
+        else:
+            sl = localize(succ)
+            kl = localize(skip)
+            cnt = np.maximum(c["count"][in_t], 0) * (c["first"][in_t] >= 0)
+            for o in range(OCTANTS):
+                links[ci, o, tl, :, ll] = pack_link_word(sl[o], kl[o],
+                                                         cnt)[:, None]
 
         leaf = in_t & (c["first"] >= 0)
         tlf = tid[leaf]
@@ -510,6 +613,58 @@ def _tl_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
     return lnode, qs, qc
 
 
+def _slab_slot(pln_ref, qs6, site, nd, slot, o, d_inv, tmin, tfar):
+    """Pair-format slab test against child slot 0/1 of node ``nd`` (the
+    box words are indexed by the PARENT id so the dependent chain stays
+    one gather deep; same dequantized-slab formula as :func:`_tl_slab`)."""
+    tns, tfs = [], []
+    for a in range(3):
+        w = _look(pln_ref[site, 2 * a + slot], nd)
+        q_lo = (w & jnp.int32(0xFFFF)).astype(jnp.float32)
+        q_hi = ((w >> 16) & jnp.int32(0xFFFF)).astype(jnp.float32)
+        lo = qs6[2 * a] + q_lo * qs6[2 * a + 1]
+        hi = qs6[2 * a] + q_hi * qs6[2 * a + 1]
+        t0 = (lo - o[a]) * d_inv[a]
+        t1 = (hi - o[a]) * d_inv[a]
+        tns.append(jnp.minimum(t0, t1))
+        tfs.append(jnp.maximum(t0, t1))
+    t_near = jnp.maximum(jnp.maximum(tns[0], tns[1]),
+                         jnp.maximum(tns[2], tmin))
+    t_far = jnp.minimum(jnp.minimum(tfs[0], tfs[1]),
+                        jnp.minimum(tfs[2], tfar))
+    return t_near <= t_far
+
+
+def _pair_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
+               tmin, act):
+    """One pair-test step at an ENTERED node: test BOTH children's boxes,
+    enqueue hit leaf children (near first — preserves the old walk's MT
+    order up to the documented tie caveat), descend to the near interior
+    hit child, else the far one, else follow the leaf-skipping exit
+    chain. Up to TWO queue pushes per step (callers stall at QD-1)."""
+    word = _look(lnk_ref[site], lnode)
+    near = word & jnp.int32(127)
+    far = (word >> 7) & jnp.int32(127)
+    pexit = (word >> 14) & jnp.int32(127)
+    int_n = ((word >> 21) & 1) != 0
+    int_f = ((word >> 22) & 1) != 0
+    swap = ((word >> 26) & 1) != 0
+    box_a = _slab_slot(pln_ref, qs6, site, lnode, 0, o, d_inv, tmin, bt)
+    box_b = _slab_slot(pln_ref, qs6, site, lnode, 1, o, d_inv, tmin, bt)
+    # mask logic, not where(bool, bool, bool): Mosaic can't lower the
+    # i8→i1 truncation a boolean-payload select materializes
+    boxn = (box_b & swap) | (box_a & ~swap)
+    boxf = (box_a & swap) | (box_b & ~swap)
+    qs, qc = _queue_push(qs, qc, act & boxn & ~int_n, near)
+    qs, qc = _queue_push(qs, qc, act & boxf & ~int_f, far)
+    go_n = boxn & int_n
+    go_f = boxf & int_f & ~go_n
+    lnode = jnp.where(
+        act, jnp.where(go_n, near, jnp.where(go_f, far, pexit)), lnode
+    )
+    return lnode, qs, qc
+
+
 # win_ref scratch plane layout: per-lane winner bookkeeping accumulated
 # across a treelet site's drains — the expensive normal interpolation +
 # state commit runs ONCE per improved site (at treelet exit), not once
@@ -535,6 +690,11 @@ def _walk_closest_perlane(
     """
     end = tidm[tid_len - 1]
     ns = len(pks)
+    # pair-test tables carry 6 box words per node (see PAIR_DEFAULT)
+    pair = pln_ref.shape[1] == 6
+    step_fn = _pair_step if pair else _tl_step
+    q_room = QD - 1 if pair else QD   # pair steps push up to 2 leaves
+    cshift = 23 if pair else 14       # cnt bits in the link word
 
     def o_of(i):
         return [od_ref[OD_O + a, pks[i]] for a in range(3)]
@@ -584,7 +744,7 @@ def _walk_closest_perlane(
                 for j2 in range(1, QD):
                     qn = jnp.where(j == j2, qss[i][j2], qn)
                 occm = qcs[i] > j
-                cntq = _look(lnk_ref[site], qn) >> 14
+                cntq = (_look(lnk_ref[site], qn) >> cshift) & 7
                 for k in range(LEAF_UNROLL):
                     t, u, v, hit = _mt_bank(mt_ref, site, k, qn, o, d,
                                             tmin, bt)
@@ -706,11 +866,11 @@ def _walk_closest_perlane(
                     # has queue room; full-queue lanes stall instead of
                     # pausing the whole walk
                     return _any_or([
-                        (lnodes[i] != DONE) & (qcs[i] < QD)
+                        (lnodes[i] != DONE) & (qcs[i] < q_room)
                         for i in range(ns)
                     ])
                 act = _any_or([ln != DONE for ln in lnodes])
-                full = _any_or([qc >= QD for qc in qcs])
+                full = _any_or([qc >= q_room for qc in qcs])
                 return act & ~full
 
             def step_body(c2):
@@ -719,8 +879,8 @@ def _walk_closest_perlane(
                 for i in range(ns):
                     act = lnodes[i] != DONE
                     if STALL_SCHED:
-                        act = act & (qcs[i] < QD)
-                    ln, qs, qc = _tl_step(
+                        act = act & (qcs[i] < q_room)
+                    ln, qs, qc = step_fn(
                         pln_ref, lnk_ref, qs6, site, lnodes[i], bt4[i],
                         qss[i], qcs[i], o_of(i), inv_of(i), tmin, act,
                     )
@@ -772,6 +932,10 @@ def _walk_anyhit_perlane(
     """Two-level occlusion walk; returns the occlusion mask per slice."""
     end = tidm[tid_len - 1]
     ns = len(pks)
+    pair = pln_ref.shape[1] == 6
+    step_fn = _pair_step if pair else _tl_step
+    q_room = QD - 1 if pair else QD
+    cshift = 23 if pair else 14
     live0s = [t > tmin for t in tmaxs]
 
     def o_of(i):
@@ -814,7 +978,7 @@ def _walk_anyhit_perlane(
                 for j2 in range(1, QD):
                     qn = jnp.where(j == j2, qss[i][j2], qn)
                 occm = qcs[i] > j
-                cntq = _look(lnk_ref[site], qn) >> 14
+                cntq = (_look(lnk_ref[site], qn) >> cshift) & 7
                 for k in range(LEAF_UNROLL):
                     _, _, _, hit = _mt_bank(mt_ref, site, k, qn, o, d,
                                             tmin, wns[i])
@@ -849,11 +1013,11 @@ def _walk_anyhit_perlane(
                 lnodes, qss, qcs = c2
                 if STALL_SCHED:
                     return _any_or([
-                        (lnodes[i] != DONE) & (qcs[i] < QD)
+                        (lnodes[i] != DONE) & (qcs[i] < q_room)
                         for i in range(ns)
                     ])
                 act = _any_or([ln != DONE for ln in lnodes])
-                full = _any_or([qc >= QD for qc in qcs])
+                full = _any_or([qc >= q_room for qc in qcs])
                 return act & ~full
 
             def step_body(c2):
@@ -862,8 +1026,8 @@ def _walk_anyhit_perlane(
                 for i in range(ns):
                     act = lnodes[i] != DONE
                     if STALL_SCHED:
-                        act = act & (qcs[i] < QD)
-                    ln, qs, qc = _tl_step(
+                        act = act & (qcs[i] < q_room)
+                    ln, qs, qc = step_fn(
                         pln_ref, lnk_ref, qs6, site, lnodes[i],
                         pending_t(i, occs[i]), qss[i], qcs[i],
                         o_of(i), inv_of(i), tmin, act,
@@ -1092,6 +1256,7 @@ def perlane_closest_sweep(
     w2o = scene.w2o[instid].reshape(e_n, 12)
     matid = scene.materials[instid].astype(jnp.int32)
 
+    pw = scene.pl_planes.shape[2]   # 3 (visit-step) or 6 (pair-test)
     kernel = functools.partial(
         _perlane_closest_kernel,
         tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
@@ -1123,7 +1288,7 @@ def perlane_closest_sweep(
             pltpu.SMEM((oct_len,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((t_pad, 3, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM((t_pad, pw, K_SUB, K_LANE), jnp.int32),
             pltpu.VMEM((t_pad, K_SUB, K_LANE), jnp.int32),
             pltpu.VMEM((t_pad, rows_mt, K_LANE), jnp.float32),
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
@@ -1329,6 +1494,7 @@ def perlane_anyhit_sweep(
     instid = jnp.take(instid, perm)
     w2o = scene.w2o[instid].reshape(e_n, 12)
 
+    pw = tabs[4].shape[2]   # planes words: 3 (visit-step) or 6 (pair)
     kernel = functools.partial(
         _perlane_anyhit_kernel,
         tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
@@ -1359,7 +1525,7 @@ def perlane_anyhit_sweep(
             pltpu.SMEM((oct_len,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((t_pad, 3, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM((t_pad, pw, K_SUB, K_LANE), jnp.int32),
             pltpu.VMEM((t_pad, K_SUB, K_LANE), jnp.int32),
             pltpu.VMEM((t_pad, rows_mt, K_LANE), jnp.float32),
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),

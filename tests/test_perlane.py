@@ -143,6 +143,84 @@ def test_packed_tables(chunk):
                         chunk["n_soa"][p9][f + k])
 
 
+def test_packed_tables_pair(chunk):
+    """Pair-test format (``pair=True``): per-parent child box slots in
+    build order, link word carrying (near, far, pexit, int flags, own
+    count, swap), exit chains threaded past same-treelet leaf siblings."""
+    arrays, lay = pack_perlane_tables([chunk], normals=True, pair=True)
+    _, t_pad, _, tid_len, _, qsc_len = lay
+    n = chunk["first"].shape[0]
+    first, count, miss = chunk["first"], chunk["count"], chunk["miss"]
+    tid, nt = treelet_partition(first, count, miss)
+    leaf = first >= 0
+    planes = arrays["planes"][0]
+    assert planes.shape[1] == 6
+    links = arrays["links"].reshape(1, 8, t_pad, 8, 128)[0]
+    qsc = arrays["qsc"].reshape(1, qsc_len)[0]
+    succ, skip = octant_links(chunk["aabb_min"], chunk["aabb_max"],
+                              first, miss)
+    roots = {t: int(np.flatnonzero(tid == t)[0]) for t in range(nt)}
+    ids = np.arange(n)
+    in_t = tid < nt
+
+    def deq(w, t, a):
+        u = np.int64(w) & 0xFFFFFFFF
+        org = qsc[t * 8 + 2 * a]
+        sc = qsc[t * 8 + 2 * a + 1]
+        return (float(org + np.float32(u & 0xFFFF) * sc),
+                float(org + np.float32((u >> 16) & 0xFFFF) * sc))
+
+    for g in np.flatnonzero(in_t)[:: max(1, n // 96)]:
+        t = tid[g]
+        rt = roots[t]
+        ll = g - rt
+        word = int(links[0, t, 0, ll])
+        near = word & 127
+        far = (word >> 7) & 127
+        pexit = (word >> 14) & 127
+        int_n = (word >> 21) & 1
+        int_f = (word >> 22) & 1
+        cnt = (word >> 23) & 7
+        swap = (word >> 26) & 1
+        if leaf[g]:
+            # leaf: near = far = self, cnt = own triangle count, slot 0
+            # carries the OWN box, slot 1 always-misses (q_lo > q_hi)
+            assert near == ll and far == ll
+            assert cnt == count[g]
+            for a in range(3):
+                lo, hi = deq(planes[t, 2 * a, 0, ll], t, a)
+                assert lo <= chunk["aabb_min"][g, a]
+                assert hi >= chunk["aabb_max"][g, a]
+                w1 = np.int64(planes[t, 2 * a + 1, 0, ll]) & 0xFFFFFFFF
+                assert (w1 & 0xFFFF) > (w1 >> 16)   # always-miss slab
+        else:
+            assert cnt == 0
+            c1 = g + 1                       # build-order first child
+            c2 = min(int(miss[c1]), n - 1)   # its skip = second child
+            # octant-0 near child is succ; far is the sibling
+            gnear = succ[0, g]
+            gfar = c2 if gnear == c1 else c1
+            assert near == gnear - rt and far == gfar - rt
+            assert swap == (1 if gnear == c2 else 0)
+            assert int_n == (0 if leaf[gnear] else 1)
+            assert int_f == (0 if leaf[gfar] else 1)
+            # box slots carry the BUILD-order children's boxes
+            for slot, gc in ((0, c1), (1, c2)):
+                for a in range(3):
+                    lo, hi = deq(planes[t, 2 * a + slot, 0, ll], t, a)
+                    assert lo <= chunk["aabb_min"][gc, a]
+                    assert hi >= chunk["aabb_max"][gc, a]
+            # exit chain: follows skip, threaded past same-treelet leaves
+            pe = int(skip[0, g])
+            for _ in range(n):
+                if pe >= n or not leaf[pe] or tid[pe] != t:
+                    break
+                pe = int(skip[0, pe])
+            want = pe - rt if pe < n and tid[min(pe, n - 1)] == t \
+                and pe >= rt else DONE
+            assert pexit == want
+
+
 def test_quantize_axis_conservative():
     """16-bit treelet-grid plane quantization: dequantized lo never
     exceeds the true lo and dequantized hi never undercuts the true hi

@@ -153,6 +153,12 @@ def _unpack_lnk(w):
     return w & 127, (w >> 7) & 127, w >> 14
 
 
+def _unpack_pair_lnk(w):
+    """Pair link word -> (near, far, pexit, int_n, int_f, cnt, swap)."""
+    return (w & 127, (w >> 7) & 127, (w >> 14) & 127,
+            (w >> 21) & 1, (w >> 22) & 1, (w >> 23) & 7, (w >> 26) & 1)
+
+
 def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
                   anyhit, win=None, normals=False):
     """The kernel algorithm on the PACKED tables (numpy lockstep)."""
@@ -161,7 +167,8 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
     box = arrays["box"][ci]
     tidm = arrays["tid"][ci]
     qsc = arrays["qsc"].reshape(-1, qsc_len)[ci]
-    pln = arrays["planes"][ci, :, :, 0]          # (T, 3, 128) packed words
+    pln = arrays["planes"][ci, :, :, 0]          # (T, 3|6, 128) words
+    pair = pln.shape[1] == 6                     # pair-test format
     lnk = arrays["links"].reshape(-1, 8, t_pad, 8, 128)[
         ci, oct_id, :, 0]                        # (T, 128) packed words
     mt = arrays["mt"][ci]                        # (T, rows, 128)
@@ -192,7 +199,8 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
         for j in range(QD):
             qn = qs[j]
             occm = qc > j
-            cntq = _unpack_lnk(lnk[site, qn])[2]
+            cntq = (_unpack_pair_lnk(lnk[site, qn])[5] if pair
+                    else _unpack_lnk(lnk[site, qn])[2])
             improved = np.zeros(L, bool)
             ju = np.zeros(L, np.float32)
             jv = np.zeros(L, np.float32)
@@ -239,35 +247,60 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
                              0, DONE).astype(np.int64)
             qs = [np.zeros(L, np.int64) for _ in range(QD)]
             qc = np.zeros(L, np.int64)
+            q_room = QD - 1 if pair else QD
+
+            def tl_slab(word_idx, nd, eff):
+                with np.errstate(invalid="ignore"):
+                    tn = np.full(L, tmin, np.float32)
+                    tf = eff.copy().astype(np.float32)
+                    for a in range(3):
+                        lo, hi = _unpack_pln(
+                            pln[site, word_idx(a), nd],
+                            qsc[site * 8 + 2 * a],
+                            qsc[site * 8 + 2 * a + 1],
+                        )
+                        t0 = (lo - o3[a]) * inv3[a]
+                        t1 = (hi - o3[a]) * inv3[a]
+                        tn = np.maximum(tn, np.minimum(t0, t1))
+                        tf = np.minimum(tf, np.maximum(t0, t1))
+                return tn <= tf
+
+            def qpush(qs, qc, push, nd):
+                for j in range(QD):
+                    qs[j] = np.where(push & (qc == j), nd, qs[j])
+                return qs, qc + push
+
             while (lnode != DONE).any() or (qc > 0).any():
-                while ((lnode != DONE) & (qc < QD)).any():
+                while ((lnode != DONE) & (qc < q_room)).any():
                     # per-lane stall scheduling: full-queue lanes hold
-                    act = (lnode != DONE) & (qc < QD)
+                    act = (lnode != DONE) & (qc < q_room)
                     nd = lnode
-                    sc, sk, cnt = _unpack_lnk(lnk[site, nd])
                     eff = (np.where(live0 & (occ == 0), win, 0.0)
                            if anyhit else bt)
-                    with np.errstate(invalid="ignore"):
-                        tn = np.full(L, tmin, np.float32)
-                        tf = eff.copy().astype(np.float32)
-                        for a in range(3):
-                            lo, hi = _unpack_pln(
-                                pln[site, a, nd],
-                                qsc[site * 8 + 2 * a],
-                                qsc[site * 8 + 2 * a + 1],
-                            )
-                            t0 = (lo - o3[a]) * inv3[a]
-                            t1 = (hi - o3[a]) * inv3[a]
-                            tn = np.maximum(tn, np.minimum(t0, t1))
-                            tf = np.minimum(tf, np.maximum(t0, t1))
-                    bx = tn <= tf
-                    leaf = cnt > 0
-                    push = act & bx & leaf
-                    for j in range(QD):
-                        qs[j] = np.where(push & (qc == j), nd, qs[j])
-                    qc = qc + push
-                    lnode = np.where(act, np.where(bx & ~leaf, sc, sk),
-                                     lnode)
+                    if pair:
+                        near, far, pexit, int_n, int_f, _, swap = (
+                            _unpack_pair_lnk(lnk[site, nd]))
+                        bx_a = tl_slab(lambda a: 2 * a, nd, eff)
+                        bx_b = tl_slab(lambda a: 2 * a + 1, nd, eff)
+                        bxn = np.where(swap != 0, bx_b, bx_a)
+                        bxf = np.where(swap != 0, bx_a, bx_b)
+                        qs, qc = qpush(qs, qc,
+                                       act & bxn & (int_n == 0), near)
+                        qs, qc = qpush(qs, qc,
+                                       act & bxf & (int_f == 0), far)
+                        go_n = bxn & (int_n != 0)
+                        go_f = bxf & (int_f != 0) & ~go_n
+                        lnode = np.where(
+                            act, np.where(go_n, near,
+                                          np.where(go_f, far, pexit)),
+                            lnode)
+                    else:
+                        sc, sk, cnt = _unpack_lnk(lnk[site, nd])
+                        bx = tl_slab(lambda a: a, nd, eff)
+                        leaf = cnt > 0
+                        qs, qc = qpush(qs, qc, act & bx & leaf, nd)
+                        lnode = np.where(
+                            act, np.where(bx & ~leaf, sc, sk), lnode)
                 eff_win = (np.where(live0 & (occ == 0), win, 0.0)
                            if anyhit else None)
                 drain(site, qs, qc, eff_win)
