@@ -130,8 +130,13 @@ class RenderConfig:
     # moves are contiguous row copies (measured ~bandwidth speed), the
     # elementwise shading/bookkeeping and sweeps shrink 4×, and waves
     # iterate when more packets survive than the budget. Bit-identical
-    # (per-lane results are permutation-invariant).
-    wavefront: str = "full"
+    # (per-lane results are permutation-invariant). Default "compact"
+    # since round 3f: it measured ~neutral in round 3b when sweep cost
+    # dominated, but after the per-lane tier + round-3e sky/shadow cuts it
+    # wins every preset on-chip (tools/r5_compact_ab.py, same-session
+    # A/B over the pair walk: config5 18.9 → 17.9 ms, config2 22.9 →
+    # 22.1, config4 137.9 → 136.0, reference 75.4 → 72.5).
+    wavefront: str = "compact"
     ray_chunk: int = 0            # rays per traversal chunk; 0 = whole frame
     # statically unroll the bounce loop (max_bounce_count <= 8 only):
     # identical math to the lax.while_loop, measured as an A/B knob for

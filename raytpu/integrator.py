@@ -106,7 +106,7 @@ class RenderStatic:
     sky_sampler: str = "auto"  # "auto" | "gather" | "mxu" (ops/sky_mxu.py)
     sky_rebin: str = "auto"    # "auto" | "on" | "off" (see _use_sky_rebin)
     divergence: str = "off"  # see RenderConfig.divergence
-    wavefront: str = "full"  # see RenderConfig.wavefront
+    wavefront: str = "compact"  # see RenderConfig.wavefront
     bounce_unroll: bool = False  # see RenderConfig.bounce_unroll
     fold_spp: bool = True  # trace all spp waves in one folded sweep
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =

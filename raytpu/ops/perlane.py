@@ -207,24 +207,26 @@ def _dequant_both(q: np.ndarray, org: np.float32, scale: np.float32):
 
 
 def quantize_axis(
-    lo: np.ndarray, hi: np.ndarray, org: float, ext: float
+    lo: np.ndarray, hi: np.ndarray, org: float, ext: float,
+    levels: int = 65535,
 ) -> Tuple[np.ndarray, np.ndarray, np.float32]:
-    """Conservative 16-bit quantization of node slab planes onto the
-    treelet-root grid ``org + q * scale``: dequantized lo never exceeds
-    the true lo, dequantized hi never undercuts the true hi, under BOTH
-    kernel rounding orders. Slack is <= ~2 grid steps = 2^-15 of the
-    treelet extent."""
+    """Conservative ``levels``-step quantization of node slab planes onto
+    the treelet-root grid ``org + q * scale``: dequantized lo never
+    exceeds the true lo, dequantized hi never undercuts the true hi,
+    under BOTH kernel rounding orders. Slack is <= ~2 grid steps =
+    2/levels of the treelet extent (16-bit default; the packed pair
+    format uses 8-bit, levels=255)."""
     org = np.float32(org)
-    scale = np.float32(np.float32(ext) / np.float32(65535.0))
+    scale = np.float32(np.float32(ext) / np.float32(levels))
     if not np.isfinite(scale) or scale <= 0.0:
         scale = np.float32(0.0)
         n = lo.shape[0]
         return (np.zeros(n, np.int64), np.zeros(n, np.int64), scale)
     inv = 1.0 / np.float64(scale)
     q_lo = np.clip(np.floor((lo.astype(np.float64) - np.float64(org))
-                            * inv), 0, 65535).astype(np.int64)
+                            * inv), 0, levels).astype(np.int64)
     q_hi = np.clip(np.ceil((hi.astype(np.float64) - np.float64(org))
-                           * inv), 0, 65535).astype(np.int64)
+                           * inv), 0, levels).astype(np.int64)
     for _ in range(4):  # fix-up: conservatism under both roundings
         a, b = _dequant_both(q_lo, org, scale)
         bad = (a > lo) | (b > lo)
@@ -238,7 +240,7 @@ def quantize_axis(
         bad = (a < hi) | (b < hi)
         if not bad.any():
             break
-        if (bad & (q_hi >= 65535)).any():
+        if (bad & (q_hi >= levels)).any():
             # grid top cannot reach hi (rounding): stretch the grid a notch
             scale = np.float32(np.nextafter(scale, np.float32(np.inf)))
             continue

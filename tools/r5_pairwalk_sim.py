@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 PRESET = os.environ.get("SIM_PRESET", "config4")
+QBITS = int(os.environ.get("SIM_QBITS", "0"))
 NODE_CAP = 127
 
 
@@ -125,6 +126,34 @@ def main() -> int:
             pex[oc] = pe
         c["far"] = far
         c["pex"] = pex
+        # SIM_QBITS: dequantized-conservative child boxes on the treelet
+        # grid (kernel semantics) at the given bit width — measures the
+        # step/push inflation a narrower packed box format would cost
+        # (8-bit packs BOTH children's lo/hi in ONE word/axis: 4 gathers
+        # per pair step instead of 7)
+        if QBITS:
+            from raytpu.ops.perlane import quantize_axis
+
+            lo_q = c["lo"].astype(np.float32).copy()
+            hi_q = c["hi"].astype(np.float32).copy()
+            levels = float((1 << QBITS) - 1)
+            for t in range(nt):
+                sel = np.flatnonzero(tid == t)
+                rt = sel[0]
+                for a in range(3):
+                    org = float(c["lo"][rt, a])
+                    ext = float(np.float64(c["hi"][rt, a])
+                                - np.float64(org))
+                    q_lo, q_hi, scale = quantize_axis(
+                        c["lo"][sel, a], c["hi"][sel, a], org, ext,
+                        levels=int(levels),
+                    )
+                    lo_q[sel, a] = (np.float32(org)
+                                    + q_lo.astype(np.float32) * scale)
+                    hi_q[sel, a] = (np.float32(org)
+                                    + q_hi.astype(np.float32) * scale)
+            c["lo_q"] = lo_q
+            c["hi_q"] = hi_q
         chunks.append(c)
 
     print(json.dumps({
@@ -133,9 +162,9 @@ def main() -> int:
     }), flush=True)
 
     # ------------------------------------------------------------------
-    def slab_idx(c, nc, o3, inv3, tmin, bt):
-        lo = c["lo"].T
-        hi = c["hi"].T
+    def slab_idx(c, nc, o3, inv3, tmin, bt, quant=False):
+        lo = (c["lo_q"] if quant and QBITS else c["lo"]).T
+        hi = (c["hi_q"] if quant and QBITS else c["hi"]).T
         with np.errstate(invalid="ignore"):
             tn = np.full(bt.shape, tmin, np.float32)
             tf = bt.copy()
@@ -262,8 +291,10 @@ def main() -> int:
                 # children tests (only meaningful for entered interiors)
                 cn = np.minimum(succ[nc], n - 1)   # near child
                 cf = np.minimum(far[nc], n - 1)    # far child
-                boxn = slab_idx(c, cn, o3, inv3, RAY_TMIN, eff_bt) & entered
-                boxf = slab_idx(c, cf, o3, inv3, RAY_TMIN, eff_bt) & entered
+                boxn = slab_idx(c, cn, o3, inv3, RAY_TMIN, eff_bt,
+                                quant=True) & entered
+                boxf = slab_idx(c, cf, o3, inv3, RAY_TMIN, eff_bt,
+                                quant=True) & entered
                 # leaf children are enqueued (MT) at this step, near first
                 leaf_mt(c, cn, boxn & leaf[cn], o3, d3, bt, state, anyhit,
                         eff_bt)
