@@ -251,10 +251,12 @@ def attach_bvh(
         total_tris, cfg.samples_per_pixel, cfg.max_bounce_count
     )
     if mega_layout is not None and _perlane_wanted(cfg, auto_tier):
-        from raytpu.ops.perlane import PAIR_DEFAULT, pack_perlane_tables
+        from raytpu.ops.perlane import (PAIR_DEFAULT, PAIR_QBITS,
+                                    pack_perlane_tables)
 
         tabs, perlane_layout = pack_perlane_tables(
-            mega_chunks, normals=True, pair=PAIR_DEFAULT)
+            mega_chunks, normals=True, pair=PAIR_DEFAULT,
+            qbits=PAIR_QBITS)
         dev = dev._replace(
             pl_box=jnp.asarray(tabs["box"]),
             pl_tid=jnp.asarray(tabs["tid"]),
@@ -265,7 +267,8 @@ def attach_bvh(
         )
         if mega_shadow_layout is not None:
             sh_tabs, perlane_shadow_layout = pack_perlane_tables(
-                sh_chunks, normals=False, pair=PAIR_DEFAULT
+                sh_chunks, normals=False, pair=PAIR_DEFAULT,
+                qbits=PAIR_QBITS,
             )
             dev = dev._replace(
                 pl_sh_box=jnp.asarray(sh_tabs["box"]),

@@ -168,8 +168,9 @@ class SceneStatic:
     shadow_traversal_list: Tuple[Tuple[int, int], ...] = ()
     # per-lane tier layouts (pad_nodes, t_pad, box_len, tid_len, rows_mt);
     # None when the perlane tables are not attached
-    perlane_layout: Optional[Tuple[int, int, int, int, int]] = None
-    perlane_shadow_layout: Optional[Tuple[int, int, int, int, int]] = None
+    # (pad_nodes, t_pad, box_len, tid_len, rows_mt, qsc_len, pair_bits)
+    perlane_layout: Optional[Tuple[int, ...]] = None
+    perlane_shadow_layout: Optional[Tuple[int, ...]] = None
     # traversal="auto" resolution on TPU: "mega" or "perlane", chosen at
     # scene build from the measured preset table (accel.resolve_auto_tier)
     auto_tier: str = "mega"

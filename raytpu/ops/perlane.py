@@ -142,6 +142,9 @@ QD = 4
 # (the planes banks are octant-independent in build order — 8× fewer
 # words than per-octant boxes — and the step swaps the two slab results).
 PAIR_DEFAULT = os.environ.get("RAYTPU_PERLANE_PAIR", "1") != "0"
+# child-box quantization of the pair format: 16 (two words/axis) or 8
+# (both children in one word/axis: 4 gathers per step instead of 7)
+PAIR_QBITS = int(os.environ.get("RAYTPU_PERLANE_QBITS", "16"))
 MISS_WORD = np.int32(0x0000FFFF)  # q_lo=65535 > q_hi=0: always-miss slab
 
 # packets per per-lane walk: 4 slices of (8,128) interleave the dependent
@@ -272,8 +275,8 @@ def pack_link_word(
 
 
 def pack_perlane_tables(
-    chunks, normals: bool = True, pair: bool = False
-) -> Tuple[Dict[str, np.ndarray], Tuple[int, int, int, int, int]]:
+    chunks, normals: bool = True, pair: bool = False, qbits: int = 16
+) -> Tuple[Dict[str, np.ndarray], Tuple[int, int, int, int, int, int, int]]:
     """Pack per-chunk two-level tables for the per-lane sweeps.
 
     ``chunks``: the same per-chunk dicts ``ops/mega.py`` packs (aabb_min/
@@ -301,12 +304,21 @@ def pack_perlane_tables(
       xyz), then normal rows at ``OFF_NRM_ROW + k*9 + c`` (closest set).
 
     ``pair=True`` packs the pair-test format instead (see the PAIR_DEFAULT
-    note above): ``planes`` becomes (C, t_pad, 6, 8, 128) — axis slot
-    ``2a`` = build-order FIRST child's word, ``2a+1`` = SECOND child's
-    (leaves: own box / always-miss) — and ``links`` carries the pair word
-    ``near | far<<7 | pexit<<14 | int_n<<21 | int_f<<22 | cnt<<23 |
-    swap<<26`` per octant. The kernels dispatch on the planes shape.
+    note above). At ``qbits=16``, ``planes`` becomes (C, t_pad, 6, 8, 128)
+    — axis slot ``2a`` = build-order FIRST child's word, ``2a+1`` =
+    SECOND child's. At ``qbits=8`` it stays (C, t_pad, 3, 8, 128) with
+    BOTH children's 8-bit bounds in one word per axis
+    (``loA | hiA<<8 | loB<<16 | hiB<<24``, conservative on a 255-step
+    treelet grid): a pair step costs 4 gathers instead of 7. ``links``
+    carries the pair word ``near | far<<7 | pexit<<14 | int_n<<21 |
+    int_f<<22 | cnt<<23 | swap<<26`` per octant; leaf nodes (stepped only
+    as single-leaf treelet roots) encode ``near = self, int_f = 1,
+    far = DONE`` so the step pushes the leaf once and exits (an
+    "always-miss" B slab cannot exist — the slab test min/maxes the
+    plane pair, so an inverted interval normalizes to a full one). The
+    kernels dispatch on layout[6] (``pair_bits``: 0 / 16 / 8).
     """
+    assert qbits in (8, 16)
     pad_nodes = max(c["aabb_min"].shape[0] for c in chunks)
     box_len = _align(6 * pad_nodes)
     tid_len = _align(pad_nodes + 1)
@@ -324,9 +336,10 @@ def pack_perlane_tables(
     box = np.zeros((cN, box_len), np.float32)
     tidm = np.full((cN, tid_len), -1, np.int32)
     qsc = np.zeros((cN, qsc_len), np.float32)
-    pw = 6 if pair else 3
+    pw = 6 if (pair and qbits == 16) else 3
     planes = np.full((cN, t_pad, pw, 8, 128),
-                     int(MISS_WORD) if pair else 0, np.int32)
+                     int(MISS_WORD) if (pair and qbits == 16) else 0,
+                     np.int32)
     # default link word: self-loop at DONE, never pushes, cnt=0
     default_word = (
         int(DONE | (DONE << 7) | (DONE << 14)) if pair
@@ -374,23 +387,36 @@ def pack_perlane_tables(
                     np.float64(c["aabb_max"][rt, a]) - np.float64(org)
                 )
                 q_lo, q_hi, scale = quantize_axis(
-                    c["aabb_min"][sel, a], c["aabb_max"][sel, a], org, ext
+                    c["aabb_min"][sel, a], c["aabb_max"][sel, a], org, ext,
+                    levels=255 if (pair and qbits == 8) else 65535,
                 )
                 w = ((q_hi.astype(np.int64) << 16)
                      | q_lo.astype(np.int64)).astype(np.uint32).view(
                          np.int32)
                 if pair:
                     # parent-indexed child slots, BUILD order; leaves get
-                    # (own box, always-miss)
+                    # their own box in slot A (slot B is never consumed:
+                    # leaf link words route the far side to DONE)
                     li = leaf[g]
                     c1 = np.minimum(llt + 1, span - 1)
                     c2 = np.minimum(
                         c["miss"][np.minimum(g + 1, n - 1)] - rt, span - 1
                     )
-                    s0 = np.where(li, w[llt], w[c1])
-                    s1 = np.where(li, MISS_WORD, w[np.maximum(c2, 0)])
-                    planes[ci, t, 2 * a, :, llt] = s0[:, None]
-                    planes[ci, t, 2 * a + 1, :, llt] = s1[:, None]
+                    if qbits == 8:
+                        c2c = np.maximum(c2, 0)
+                        loA = np.where(li, q_lo[llt], q_lo[c1])
+                        hiA = np.where(li, q_hi[llt], q_hi[c1])
+                        loB = np.where(li, 255, q_lo[c2c])
+                        hiB = np.where(li, 0, q_hi[c2c])
+                        w8 = (loA | (hiA << 8) | (loB << 16)
+                              | (hiB << 24)).astype(np.uint32).view(
+                                  np.int32)
+                        planes[ci, t, a, :, llt] = w8[:, None]
+                    else:
+                        s0 = np.where(li, w[llt], w[c1])
+                        s1 = np.where(li, MISS_WORD, w[np.maximum(c2, 0)])
+                        planes[ci, t, 2 * a, :, llt] = s0[:, None]
+                        planes[ci, t, 2 * a + 1, :, llt] = s1[:, None]
                 else:
                     # indexed target is (len, 8) (advanced dims first):
                     # broadcast the words across the 8 sublanes
@@ -435,16 +461,20 @@ def pack_perlane_tables(
                 int_n = np.where(leaf[in_t], 0,
                                  (~leaf[np.minimum(near_g[in_t], n - 1)])
                                  .astype(np.int64))
-                int_f = np.where(leaf[in_t], 0,
+                # leaves are stepped only as single-leaf treelet roots:
+                # near = self (one push), int_f = 1 + far = DONE so the
+                # far side neither pushes nor re-enters (slot B's slab
+                # cannot encode a miss — inverted intervals normalize
+                # under the min/max slab test), pexit = DONE
+                int_f = np.where(leaf[in_t], 1,
                                  (~leaf[np.minimum(far_g[in_t], n - 1)])
                                  .astype(np.int64))
-                # leaves: pexit unused (never entered except as sites,
-                # where next is DONE anyway)
                 nl = np.where(leaf[in_t], ll, nl)
                 pl_ = np.where(leaf[in_t], DONE, pl_)
                 word = (
                     nl.astype(np.int64)
-                    | (np.where(leaf[in_t], nl, fl).astype(np.int64) << 7)
+                    | (np.where(leaf[in_t], DONE,
+                                fl).astype(np.int64) << 7)
                     | (pl_.astype(np.int64) << 14)
                     | (int_n << 21)
                     | (int_f << 22)
@@ -491,7 +521,8 @@ def pack_perlane_tables(
         "links": links.reshape(cN * OCTANTS, t_pad, 8, 128),
         "mt": mt,
     }
-    return arrays, (pad_nodes, t_pad, box_len, tid_len, rows_mt, qsc_len)
+    return arrays, (pad_nodes, t_pad, box_len, tid_len, rows_mt, qsc_len,
+                    qbits if pair else 0)
 
 
 # ---------------------------------------------------------------------------
@@ -637,8 +668,37 @@ def _slab_slot(pln_ref, qs6, site, nd, slot, o, d_inv, tmin, tfar):
     return t_near <= t_far
 
 
+def _slab_pair8(pln_ref, qs6, site, nd, o, d_inv, tmin, tfar):
+    """8-bit pair-format slab tests: ONE gather per axis carries BOTH
+    children's conservative bounds (``loA | hiA<<8 | loB<<16 | hiB<<24``
+    on the 255-step treelet grid) — a pair step costs 3 box gathers + 1
+    link gather, the same traffic as the visit-step walk, at 1.7x fewer
+    steps. Returns (hitA, hitB)."""
+    tn = [[], []]
+    tf = [[], []]
+    for a in range(3):
+        w = _look(pln_ref[site, a], nd)
+        for s, sh in ((0, 0), (1, 16)):
+            q_lo = ((w >> sh) & jnp.int32(0xFF)).astype(jnp.float32)
+            q_hi = ((w >> (sh + 8)) & jnp.int32(0xFF)).astype(jnp.float32)
+            lo = qs6[2 * a] + q_lo * qs6[2 * a + 1]
+            hi = qs6[2 * a] + q_hi * qs6[2 * a + 1]
+            t0 = (lo - o[a]) * d_inv[a]
+            t1 = (hi - o[a]) * d_inv[a]
+            tn[s].append(jnp.minimum(t0, t1))
+            tf[s].append(jnp.maximum(t0, t1))
+    hits = []
+    for s in range(2):
+        t_near = jnp.maximum(jnp.maximum(tn[s][0], tn[s][1]),
+                             jnp.maximum(tn[s][2], tmin))
+        t_far = jnp.minimum(jnp.minimum(tf[s][0], tf[s][1]),
+                            jnp.minimum(tf[s][2], tfar))
+        hits.append(t_near <= t_far)
+    return hits[0], hits[1]
+
+
 def _pair_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
-               tmin, act):
+               tmin, act, bits):
     """One pair-test step at an ENTERED node: test BOTH children's boxes,
     enqueue hit leaf children (near first — preserves the old walk's MT
     order up to the documented tie caveat), descend to the near interior
@@ -651,8 +711,14 @@ def _pair_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
     int_n = ((word >> 21) & 1) != 0
     int_f = ((word >> 22) & 1) != 0
     swap = ((word >> 26) & 1) != 0
-    box_a = _slab_slot(pln_ref, qs6, site, lnode, 0, o, d_inv, tmin, bt)
-    box_b = _slab_slot(pln_ref, qs6, site, lnode, 1, o, d_inv, tmin, bt)
+    if bits == 8:
+        box_a, box_b = _slab_pair8(pln_ref, qs6, site, lnode, o, d_inv,
+                                   tmin, bt)
+    else:
+        box_a = _slab_slot(pln_ref, qs6, site, lnode, 0, o, d_inv,
+                           tmin, bt)
+        box_b = _slab_slot(pln_ref, qs6, site, lnode, 1, o, d_inv,
+                           tmin, bt)
     # mask logic, not where(bool, bool, bool): Mosaic can't lower the
     # i8→i1 truncation a boolean-payload select materializes
     boxn = (box_b & swap) | (box_a & ~swap)
@@ -677,7 +743,7 @@ WIN_Q, WIN_K, WIN_U, WIN_V, WIN_IMP = 0, 1, 2, 3, 4
 
 def _walk_closest_perlane(
     boxf, tidm, tabo, qsc_ref, pln_ref, lnk_ref, mt_ref, od_ref, win_ref,
-    st_buf, slot, pks, m, matid, instid, pn, tid_len, tmin,
+    st_buf, slot, pks, m, matid, instid, pn, tid_len, tmin, pair_bits,
 ):
     """Two-level closest walk of ``len(pks)`` single-packet slices.
 
@@ -692,9 +758,11 @@ def _walk_closest_perlane(
     """
     end = tidm[tid_len - 1]
     ns = len(pks)
-    # pair-test tables carry 6 box words per node (see PAIR_DEFAULT)
-    pair = pln_ref.shape[1] == 6
-    step_fn = _pair_step if pair else _tl_step
+    # pair_bits: 0 = visit-step walk, 16/8 = pair-test walk at that box
+    # quantization (see PAIR_DEFAULT)
+    pair = pair_bits > 0
+    step_fn = (functools.partial(_pair_step, bits=pair_bits) if pair
+               else _tl_step)
     q_room = QD - 1 if pair else QD   # pair steps push up to 2 leaves
     cshift = 23 if pair else 14       # cnt bits in the link word
 
@@ -929,13 +997,14 @@ def _walk_closest_perlane(
 
 def _walk_anyhit_perlane(
     boxf, tidm, tabo, qsc_ref, pln_ref, lnk_ref, mt_ref, od_ref,
-    pks, tmaxs, occ0s, pn, tid_len, tmin,
+    pks, tmaxs, occ0s, pn, tid_len, tmin, pair_bits,
 ):
     """Two-level occlusion walk; returns the occlusion mask per slice."""
     end = tidm[tid_len - 1]
     ns = len(pks)
-    pair = pln_ref.shape[1] == 6
-    step_fn = _pair_step if pair else _tl_step
+    pair = pair_bits > 0
+    step_fn = (functools.partial(_pair_step, bits=pair_bits) if pair
+               else _tl_step)
     q_room = QD - 1 if pair else QD
     cshift = 23 if pair else 14
     live0s = [t > tmin for t in tmaxs]
@@ -1100,7 +1169,7 @@ def _perlane_closest_kernel(
     sem_tab, sem_oct, sem_in, sem_out,
     *,
     tmin: float, pn: int, box_len: int, tid_len: int, qsc_len: int,
-    oct_len: int, num_blocks: int,
+    oct_len: int, num_blocks: int, pair_bits: int,
 ):
     e = pl.program_id(0)
     num_e = pl.num_programs(0)
@@ -1208,7 +1277,7 @@ def _perlane_closest_kernel(
             _walk_closest_perlane(
                 boxf, tidm, tabo, qscm, pln_v, lnk_v, mt_v, od_buf,
                 win_buf, st_buf, slot, list(range(g0, g0 + W_PK)), m,
-                matid, instid, pn, tid_len, tmin,
+                matid, instid, pn, tid_len, tmin, pair_bits,
             )
 
         pltpu.make_async_copy(
@@ -1241,7 +1310,8 @@ def perlane_closest_sweep(
     """One full closest-hit sweep via the two-level per-lane kernel."""
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
-    pn, t_pad, box_len, tid_len, rows_mt, qsc_len = static.perlane_layout
+    (pn, t_pad, box_len, tid_len, rows_mt, qsc_len,
+     pair_bits) = static.perlane_layout
     oct_len = _align(2 * pn)
     num_blocks = p // BLOCK_PACKETS
 
@@ -1258,11 +1328,12 @@ def perlane_closest_sweep(
     w2o = scene.w2o[instid].reshape(e_n, 12)
     matid = scene.materials[instid].astype(jnp.int32)
 
-    pw = scene.pl_planes.shape[2]   # 3 (visit-step) or 6 (pair-test)
+    pw = scene.pl_planes.shape[2]   # 3 (visit-step/pair8) or 6 (pair16)
     kernel = functools.partial(
         _perlane_closest_kernel,
         tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
         qsc_len=qsc_len, oct_len=oct_len, num_blocks=num_blocks,
+        pair_bits=pair_bits,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -1326,7 +1397,7 @@ def _perlane_anyhit_kernel(
     sem_tab, sem_oct, sem_in, sem_out,
     *,
     tmin: float, pn: int, box_len: int, tid_len: int, qsc_len: int,
-    oct_len: int, num_blocks: int,
+    oct_len: int, num_blocks: int, pair_bits: int,
 ):
     e = pl.program_id(0)
     num_e = pl.num_programs(0)
@@ -1429,7 +1500,7 @@ def _perlane_anyhit_kernel(
             occ0s = tuple(occ_buf[slot, pk] for pk in pks)
             res = _walk_anyhit_perlane(
                 boxf, tidm, tabo, qscm, pln_v, lnk_v, mt_v, od_buf,
-                pks, tmaxs, occ0s, pn, tid_len, tmin,
+                pks, tmaxs, occ0s, pn, tid_len, tmin, pair_bits,
             )
             for i, pk in enumerate(pks):
                 @pl.when(jnp.any((tmaxs[i] > tmin) & (occ0s[i] == 0)))
@@ -1467,16 +1538,16 @@ def perlane_anyhit_sweep(
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
     if static.perlane_shadow_layout is not None:
-        (pn, t_pad, box_len, tid_len, rows_mt,
-         qsc_len) = static.perlane_shadow_layout
+        (pn, t_pad, box_len, tid_len, rows_mt, qsc_len,
+         pair_bits) = static.perlane_shadow_layout
         entries = static.shadow_traversal_list
         tabs = (scene.pl_sh_box, scene.pl_sh_tid, scene.pl_sh_qsc,
                 scene.mega_sh_oct, scene.pl_sh_planes, scene.pl_sh_links,
                 scene.pl_sh_mt)
         roots = scene.mega_sh_root
     else:
-        (pn, t_pad, box_len, tid_len, rows_mt,
-         qsc_len) = static.perlane_layout
+        (pn, t_pad, box_len, tid_len, rows_mt, qsc_len,
+         pair_bits) = static.perlane_layout
         entries = static.traversal_list
         tabs = (scene.pl_box, scene.pl_tid, scene.pl_qsc, scene.mega_oct,
                 scene.pl_planes, scene.pl_links, scene.pl_mt)
@@ -1496,11 +1567,12 @@ def perlane_anyhit_sweep(
     instid = jnp.take(instid, perm)
     w2o = scene.w2o[instid].reshape(e_n, 12)
 
-    pw = tabs[4].shape[2]   # planes words: 3 (visit-step) or 6 (pair)
+    pw = tabs[4].shape[2]   # planes words: 3 (visit-step/pair8) or 6
     kernel = functools.partial(
         _perlane_anyhit_kernel,
         tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
         qsc_len=qsc_len, oct_len=oct_len, num_blocks=num_blocks,
+        pair_bits=pair_bits,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -66,7 +66,8 @@ def test_partition_invariants(chunk):
 
 def test_packed_tables(chunk):
     arrays, lay = pack_perlane_tables([chunk], normals=True)
-    pad_nodes, t_pad, box_len, tid_len, rows, qsc_len = lay
+    pad_nodes, t_pad, box_len, tid_len, rows, qsc_len, pair_bits = lay
+    assert pair_bits == 0
     assert rows == ROWS_CLOSEST
     n = chunk["first"].shape[0]
     tid, nt = treelet_partition(chunk["first"], chunk["count"],
@@ -148,7 +149,8 @@ def test_packed_tables_pair(chunk):
     build order, link word carrying (near, far, pexit, int flags, own
     count, swap), exit chains threaded past same-treelet leaf siblings."""
     arrays, lay = pack_perlane_tables([chunk], normals=True, pair=True)
-    _, t_pad, _, tid_len, _, qsc_len = lay
+    _, t_pad, _, tid_len, _, qsc_len, pair_bits = lay
+    assert pair_bits == 16
     n = chunk["first"].shape[0]
     first, count, miss = chunk["first"], chunk["count"], chunk["miss"]
     tid, nt = treelet_partition(first, count, miss)
@@ -183,16 +185,18 @@ def test_packed_tables_pair(chunk):
         cnt = (word >> 23) & 7
         swap = (word >> 26) & 1
         if leaf[g]:
-            # leaf: near = far = self, cnt = own triangle count, slot 0
-            # carries the OWN box, slot 1 always-misses (q_lo > q_hi)
-            assert near == ll and far == ll
+            # leaf (stepped only as a single-leaf treelet root): near =
+            # self pushed once, far routed to DONE with int_f=1 (slot B's
+            # slab cannot miss — inverted intervals normalize under the
+            # min/max slab test), cnt = own triangle count, slot 0 = the
+            # OWN box
+            assert near == ll and far == DONE and int_f == 1
+            assert pexit == DONE
             assert cnt == count[g]
             for a in range(3):
                 lo, hi = deq(planes[t, 2 * a, 0, ll], t, a)
                 assert lo <= chunk["aabb_min"][g, a]
                 assert hi >= chunk["aabb_max"][g, a]
-                w1 = np.int64(planes[t, 2 * a + 1, 0, ll]) & 0xFFFFFFFF
-                assert (w1 & 0xFFFF) > (w1 >> 16)   # always-miss slab
         else:
             assert cnt == 0
             c1 = g + 1                       # build-order first child
@@ -219,6 +223,52 @@ def test_packed_tables_pair(chunk):
             want = pe - rt if pe < n and tid[min(pe, n - 1)] == t \
                 and pe >= rt else DONE
             assert pexit == want
+
+
+def test_packed_tables_pair8(chunk):
+    """8-bit pair format (``qbits=8``): one word per axis carries BOTH
+    children's conservative bounds (loA | hiA<<8 | loB<<16 | hiB<<24 on
+    the 255-step treelet grid); links identical to pair16."""
+    arrays, lay = pack_perlane_tables([chunk], normals=True, pair=True,
+                                      qbits=8)
+    a16, l16 = pack_perlane_tables([chunk], normals=True, pair=True)
+    _, t_pad, _, tid_len, _, qsc_len, pair_bits = lay
+    assert pair_bits == 8
+    planes = arrays["planes"][0]
+    assert planes.shape[1] == 3
+    np.testing.assert_array_equal(arrays["links"], a16["links"])
+    np.testing.assert_array_equal(arrays["tid"], a16["tid"])
+    qsc = arrays["qsc"].reshape(1, qsc_len)[0]
+    n = chunk["first"].shape[0]
+    first, count, miss = chunk["first"], chunk["count"], chunk["miss"]
+    tid, nt = treelet_partition(first, count, miss)
+    leaf = first >= 0
+    roots = {t: int(np.flatnonzero(tid == t)[0]) for t in range(nt)}
+    in_t = tid < nt
+
+    def deq8(w, t, a, sh):
+        u = np.int64(w) & 0xFFFFFFFF
+        org = qsc[t * 8 + 2 * a]
+        sc = qsc[t * 8 + 2 * a + 1]
+        return (float(org + np.float32((u >> sh) & 0xFF) * sc),
+                float(org + np.float32((u >> (sh + 8)) & 0xFF) * sc))
+
+    for g in np.flatnonzero(in_t)[:: max(1, n // 96)]:
+        t = tid[g]
+        ll = g - roots[t]
+        if leaf[g]:
+            for a in range(3):
+                lo, hi = deq8(planes[t, a, 0, ll], t, a, 0)
+                assert lo <= chunk["aabb_min"][g, a]
+                assert hi >= chunk["aabb_max"][g, a]
+        else:
+            c1 = g + 1
+            c2 = min(int(miss[c1]), n - 1)
+            for sh, gc in ((0, c1), (16, c2)):
+                for a in range(3):
+                    lo, hi = deq8(planes[t, a, 0, ll], t, a, sh)
+                    assert lo <= chunk["aabb_min"][gc, a], (g, gc, a)
+                    assert hi >= chunk["aabb_max"][gc, a], (g, gc, a)
 
 
 def test_quantize_axis_conservative():
@@ -267,7 +317,7 @@ def test_dispatch_gating_off_tpu():
     static = SceneStatic(
         mesh_prim_ranges=((0, 12),), instance_mesh=(0,),
         mesh_node_ranges=((0, 3),), traversal="perlane",
-        perlane_layout=(8, 1, 1024, 1024, 80, 1024),
+        perlane_layout=(8, 1, 1024, 1024, 80, 1024, 16),
     )
     use = _use_perlane(static, 8, 1024)
     assert use == (jax.default_backend() == "tpu")

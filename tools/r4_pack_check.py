@@ -153,6 +153,17 @@ def _unpack_lnk(w):
     return w & 127, (w >> 7) & 127, w >> 14
 
 
+def _unpack_pln8(w, org, sc, sh):
+    """8-bit pair box word -> (lo, hi) f32 for the child at byte shift
+    ``sh`` (0 = build-first, 16 = build-second)."""
+    u = w.astype(np.int64) & 0xFFFFFFFF
+    q_lo = ((u >> sh) & 0xFF).astype(np.float32)
+    q_hi = ((u >> (sh + 8)) & 0xFF).astype(np.float32)
+    lo = (q_lo * np.float32(sc)).astype(np.float32) + np.float32(org)
+    hi = (q_hi * np.float32(sc)).astype(np.float32) + np.float32(org)
+    return lo.astype(np.float32), hi.astype(np.float32)
+
+
 def _unpack_pair_lnk(w):
     """Pair link word -> (near, far, pexit, int_n, int_f, cnt, swap)."""
     return (w & 127, (w >> 7) & 127, (w >> 14) & 127,
@@ -162,13 +173,13 @@ def _unpack_pair_lnk(w):
 def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
                   anyhit, win=None, normals=False):
     """The kernel algorithm on the PACKED tables (numpy lockstep)."""
-    pad_nodes, t_pad, box_len, tid_len, rows, qsc_len = lay
+    pad_nodes, t_pad, box_len, tid_len, rows, qsc_len, pair_bits = lay
     tmin = 1e-3
     box = arrays["box"][ci]
     tidm = arrays["tid"][ci]
     qsc = arrays["qsc"].reshape(-1, qsc_len)[ci]
     pln = arrays["planes"][ci, :, :, 0]          # (T, 3|6, 128) words
-    pair = pln.shape[1] == 6                     # pair-test format
+    pair = pair_bits > 0                         # pair-test format
     lnk = arrays["links"].reshape(-1, 8, t_pad, 8, 128)[
         ci, oct_id, :, 0]                        # (T, 128) packed words
     mt = arrays["mt"][ci]                        # (T, rows, 128)
@@ -249,16 +260,23 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
             qc = np.zeros(L, np.int64)
             q_room = QD - 1 if pair else QD
 
-            def tl_slab(word_idx, nd, eff):
+            def tl_slab(word_idx, nd, eff, sh8=None):
                 with np.errstate(invalid="ignore"):
                     tn = np.full(L, tmin, np.float32)
                     tf = eff.copy().astype(np.float32)
                     for a in range(3):
-                        lo, hi = _unpack_pln(
-                            pln[site, word_idx(a), nd],
-                            qsc[site * 8 + 2 * a],
-                            qsc[site * 8 + 2 * a + 1],
-                        )
+                        if sh8 is None:
+                            lo, hi = _unpack_pln(
+                                pln[site, word_idx(a), nd],
+                                qsc[site * 8 + 2 * a],
+                                qsc[site * 8 + 2 * a + 1],
+                            )
+                        else:
+                            lo, hi = _unpack_pln8(
+                                pln[site, word_idx(a), nd],
+                                qsc[site * 8 + 2 * a],
+                                qsc[site * 8 + 2 * a + 1], sh8,
+                            )
                         t0 = (lo - o3[a]) * inv3[a]
                         t1 = (hi - o3[a]) * inv3[a]
                         tn = np.maximum(tn, np.minimum(t0, t1))
@@ -280,8 +298,12 @@ def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
                     if pair:
                         near, far, pexit, int_n, int_f, _, swap = (
                             _unpack_pair_lnk(lnk[site, nd]))
-                        bx_a = tl_slab(lambda a: 2 * a, nd, eff)
-                        bx_b = tl_slab(lambda a: 2 * a + 1, nd, eff)
+                        if pair_bits == 8:
+                            bx_a = tl_slab(lambda a: a, nd, eff, sh8=0)
+                            bx_b = tl_slab(lambda a: a, nd, eff, sh8=16)
+                        else:
+                            bx_a = tl_slab(lambda a: 2 * a, nd, eff)
+                            bx_b = tl_slab(lambda a: 2 * a + 1, nd, eff)
                         bxn = np.where(swap != 0, bx_b, bx_a)
                         bxf = np.where(swap != 0, bx_a, bx_b)
                         qs, qc = qpush(qs, qc,

@@ -17,7 +17,9 @@ BOTH treelet-walk semantics and reports per-(site, walk) max-lane step
 counts — the two-level kernel's cost driver — plus result equality.
 
 Run: python tools/r5_pairwalk_sim.py   (CPU; SIM_PRESET=config4|config5,
-SIM_BOUNCES=N for continuation sweeps)
+SIM_BOUNCES=N for continuation sweeps, SIM_QBITS=16|8 to apply the
+kernel's conservative treelet-grid child-box quantization at that width
+— measures the step/push inflation the 8-bit packed format costs)
 """
 
 import json
