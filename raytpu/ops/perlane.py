@@ -145,7 +145,12 @@ PAIR_DEFAULT = os.environ.get("RAYTPU_PERLANE_PAIR", "1") != "0"
 # child-box quantization of the pair format: 16 (two words/axis) or 8
 # (both children in one word/axis: 4 gathers per step instead of 7)
 PAIR_QBITS = int(os.environ.get("RAYTPU_PERLANE_QBITS", "16"))
-MISS_WORD = np.int32(0x0000FFFF)  # q_lo=65535 > q_hi=0: always-miss slab
+# q_lo=65535, q_hi=0: an INVERTED interval. The kernel slab test min/maxes
+# the decoded plane pair, so this normalizes to the FULL treelet slab (an
+# always-hit word, NOT a miss) — it is safe as the leaf slot-B / padding
+# fill only because leaf link words guard slot B with int_f=1 / far=DONE
+# (see the pack docstring), never because the slab itself rejects.
+FULL_SLAB_WORD = np.int32(0x0000FFFF)
 
 # packets per per-lane walk: 4 slices of (8,128) interleave the dependent
 # gather chain (measured: 4 slices cost the same per iteration as 1)
@@ -338,7 +343,7 @@ def pack_perlane_tables(
     qsc = np.zeros((cN, qsc_len), np.float32)
     pw = 6 if (pair and qbits == 16) else 3
     planes = np.full((cN, t_pad, pw, 8, 128),
-                     int(MISS_WORD) if (pair and qbits == 16) else 0,
+                     int(FULL_SLAB_WORD) if (pair and qbits == 16) else 0,
                      np.int32)
     # default link word: self-loop at DONE, never pushes, cnt=0
     default_word = (
@@ -414,7 +419,8 @@ def pack_perlane_tables(
                         planes[ci, t, a, :, llt] = w8[:, None]
                     else:
                         s0 = np.where(li, w[llt], w[c1])
-                        s1 = np.where(li, MISS_WORD, w[np.maximum(c2, 0)])
+                        s1 = np.where(li, FULL_SLAB_WORD,
+                                      w[np.maximum(c2, 0)])
                         planes[ci, t, 2 * a, :, llt] = s0[:, None]
                         planes[ci, t, 2 * a + 1, :, llt] = s1[:, None]
                 else:
@@ -439,6 +445,17 @@ def pack_perlane_tables(
 
         if pair:
             cnt_self = np.maximum(c["count"][in_t], 0) * leaf[in_t]
+            # cnt has only 3 bits (23-25) before swap at bit 26: a leaf
+            # count > 7 would silently corrupt swap. Bounded upstream by
+            # leaf_size <= LEAF_UNROLL (accel/__init__.py), but fail
+            # LOUDLY here if a future leaf-size bump violates it. Note
+            # builders never emit count==0 leaves (asserted at the MT
+            # pack below) — _pair_step enqueues leaf children without a
+            # cnt>0 gate, so an empty leaf would burn queue slots.
+            assert cnt_self.max(initial=0) <= 7, (
+                f"pair link word cnt field overflow: leaf count "
+                f"{cnt_self.max()} > 7 corrupts the swap bit"
+            )
             c1g = np.minimum(ids + 1, n - 1)
             c2g = np.minimum(c["miss"][c1g], n - 1)
             for o in range(OCTANTS):
@@ -491,6 +508,9 @@ def pack_perlane_tables(
                                                          cnt)[:, None]
 
         leaf = in_t & (c["first"] >= 0)
+        # builders never emit zero-triangle leaves (the _pair_step walk
+        # relies on this: it enqueues box-hit leaf children unconditionally)
+        assert (c["count"][leaf] > 0).all(), "builder emitted an empty leaf"
         tlf = tid[leaf]
         llf = ids[leaf] - root[tlf]
         fr = c["first"][leaf]
