@@ -25,6 +25,58 @@ from raytpu.render import Renderer
 from raytpu.utils import measure_frame
 
 
+_REPO_ROOT = __import__("os").path.dirname(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+)
+RAYCOUNT_SIDECAR = __import__("os").path.join(_REPO_ROOT, "raycounts.json")
+
+
+def _raycount_key(preset: str, rs: RenderStatic, highpoly_depth: int,
+                  backend: str) -> str:
+    """Sidecar key: everything the exact per-frame ray count depends on.
+    Frames are deterministic (hash RNG seeded by pixel coords + sample
+    index; camera from ``set_transforms(0.0)``), so the count for a
+    (preset, shapes, backend) tuple never changes between runs — the
+    sidecar makes ``count_rays_frame``'s full second compile (minutes over
+    the dev tunnel) a one-time cost instead of a per-driver-run cost
+    (VERDICT r3 item 3). Backend is in the key because traversal uses
+    strict f32 comparisons whose fusion differs across platforms."""
+    return (f"{preset}:{rs.width}x{rs.height}:spp{rs.samples_per_pixel}"
+            f":b{rs.max_bounce_count}:d{highpoly_depth}:{backend}")
+
+
+def _raycount_lookup(key: str) -> Optional[int]:
+    import json
+    import os
+
+    if not os.path.exists(RAYCOUNT_SIDECAR):
+        return None
+    try:
+        with open(RAYCOUNT_SIDECAR) as f:
+            return json.load(f).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _raycount_store(key: str, rays: int) -> None:
+    import json
+    import os
+
+    data = {}
+    if os.path.exists(RAYCOUNT_SIDECAR):
+        try:
+            with open(RAYCOUNT_SIDECAR) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            data = {}
+    data[key] = rays
+    try:
+        with open(RAYCOUNT_SIDECAR, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: sidecar stays a cache, never a failure
+
+
 def count_rays_frame(
     scene: DeviceScene, static: SceneStatic, rs: RenderStatic, camera
 ) -> int:
@@ -83,14 +135,37 @@ def count_rays_frame(
     return int(count(scene, camera))
 
 
+class _StageDeadline(Exception):
+    """Raised inside profile_stages when the measurement deadline passes;
+    profiling returns the stages measured so far."""
+
+
 def profile_stages(
-    renderer: Renderer, rs: RenderStatic, frames: int = 25
+    renderer: Renderer, rs: RenderStatic, frames: int = 25,
+    deadline: Optional[float] = None,
 ) -> Dict[str, float]:
     """Per-stage device timings (ms) for one frame's hot pieces, each
     measured as its own jitted call bracketed by ``block_until_ready``
     (``utils/timing.py`` brackets; SURVEY.md §5 prescribes per-stage
     trace/shade/compact timers — under jit the stages fuse, so each is
-    re-run standalone here)."""
+    re-run standalone here).
+
+    ``deadline``: absolute ``time.perf_counter()`` cutoff — stages still
+    unmeasured when it passes are skipped (the dict keeps what IS
+    measured), so a driver-budgeted run degrades to a partial stage table
+    instead of an absent one (VERDICT r3 item 3)."""
+    times: Dict[str, float] = {}
+    try:
+        _profile_stages_body(renderer, rs, frames, deadline, times)
+    except _StageDeadline:
+        times["_deadline_hit"] = 1.0
+    return times
+
+
+def _profile_stages_body(
+    renderer: Renderer, rs: RenderStatic, frames: int,
+    deadline: Optional[float], times: Dict[str, float],
+) -> None:
     import functools
 
     from raytpu.integrator import _tiled_pixels, primary_rays_soa
@@ -120,17 +195,21 @@ def profile_stages(
     p = o[0].shape[0]
     lane_tmax = jnp.where(in_frame, jnp.float32(RAY_TMAX), 0.0)
 
-    times: Dict[str, float] = {}
-
     def timed(name, fn, *args):
         """Pipelined stage timing (see utils.timing.measure_frame: blocking
         per call measures tunnel dispatch latency, not device time).
         The iteration count must stay high: the host→device dispatch fixed
         cost over the dev tunnel is ~25 ms and is amortized 1/frames into
         every reported number (round-3 measured a 6.35 ms "prepass" at
-        frames=5 whose true device cost was 1.2 ms)."""
+        frames=5 whose true device cost was 1.2 ms).
+
+        Past the deadline the stage's COMPILE is skipped too (it is the
+        expensive part over the dev tunnel) — profiling aborts, keeping
+        what is already measured."""
         import time as _t
 
+        if deadline is not None and _t.perf_counter() > deadline:
+            raise _StageDeadline()
         out = fn(*args)
         jax.block_until_ready(out)
         t0 = _t.perf_counter()
@@ -269,7 +348,33 @@ def profile_stages(
                 )
             )
         timed("sky", sky_fn, (d[0], d[1], jnp.negative(d[2])))
-    return times
+
+
+def tie_scene_config(width: int = 128, height: int = 96):
+    """A deliberately TIE-PRONE scene: two instances of the same cube at
+    the identity transform — every triangle exactly coincident across two
+    instances AND two chunk sets — with DIFFERENT materials (mirror vs
+    diffuse), so any tie-break-order difference between traversal paths
+    becomes a visible pixel difference. Exercises the documented
+    bit-identity caveat (ops/mega.py) instead of leaving it an untested
+    claim (VERDICT r3 item 5)."""
+    import os
+
+    from raytpu.config import MaterialType, ObjectConfig, RenderConfig
+
+    res = "/root/reference/resources"
+    if not os.path.isdir(res):
+        raise FileNotFoundError(res)
+    return RenderConfig(
+        objects=(
+            ObjectConfig(f"{res}/cube.obj", MaterialType.MIRROR, "static"),
+            ObjectConfig(f"{res}/cube.obj", MaterialType.DIFFUSE,
+                         "static"),
+        ),
+        skybox_dir=f"{res}/skybox_texture_test",
+        width=width, height=height,
+        samples_per_pixel=2, max_bounce_count=2,
+    )
 
 
 def bit_identity_check(
@@ -289,11 +394,13 @@ def bit_identity_check(
     (ok = every compared path matched); ``{"skipped": ...}`` off-TPU
     (the mega/perlane paths only exist compiled).
 
-    Known caveat (documented, not tested): on geometry with exactly
-    coincident triangles visible through different instances/chunks, the
-    paths' different visit orders (octant near-first + depth-sorted
-    entries vs build order) may break strict-`<` ties differently; the
-    preset scenes have no coincident geometry.
+    Known caveat: on geometry with exactly coincident triangles visible
+    through different instances/chunks, the paths' different visit orders
+    (octant near-first + depth-sorted entries vs build order) may break
+    strict-`<` ties differently. Since round 4 this is TESTED, not just
+    documented: pass ``preset=tie_scene_config()`` (two coincident cube
+    instances with different materials) to measure it — the driver bench
+    records the result as ``tie_check``.
     """
     import dataclasses
 
@@ -317,7 +424,10 @@ def bit_identity_check(
         imgs[mode] = np.asarray(
             render_frame(renderer.device_scene, static, rs, cam)
         )
-    out = {"preset": preset, "width": width, "height": height}
+    out = {
+        "preset": preset if isinstance(preset, str) else "tie_scene",
+        "width": width, "height": height,
+    }
     ok = True
     for mode in modes[1:]:
         diff = imgs[mode] != imgs["pallas"]
@@ -339,12 +449,19 @@ def run_benchmark(
     spp: Optional[int] = None,
     stages: bool = False,
     count: bool = True,
+    devices: int = 1,
 ) -> Dict:
     """Benchmark a preset name or a fully-specified RenderConfig: honest
     steady-state frame time (compile excluded, device-blocked), exact
     Mrays/s, FPS. ``count=False`` skips the exact traced-ray count (it
     compiles a second full program — minutes over the dev tunnel); FPS and
-    frame time are still exact."""
+    frame time are still exact.
+
+    ``devices > 1`` benches the SHARDED path (``parallel.render_sharded``
+    over a 1-D mesh of that many devices) — the day-one measurement entry
+    for a multi-chip environment (env flag ``RAYTPU_BENCH_DEVICES`` in
+    ``bench.py``); per-frame semantics are bit-identical to single-device
+    (``tests/test_parallel.py``)."""
     scene = load_preset_scene(preset, highpoly_depth=highpoly_depth)
     if spp is not None:
         scene.config = scene.config.replace(samples_per_pixel=spp)
@@ -356,15 +473,33 @@ def run_benchmark(
     backend = jax.devices()[0].platform
 
     t0 = time.perf_counter()
-    rays = (
-        count_rays_frame(renderer.device_scene, renderer.static, rs, cam)
-        if count else 0
-    )
+    rays = None
+    key = None
+    if count and isinstance(preset, str) and spp is None:
+        key = _raycount_key(preset, rs, highpoly_depth, backend)
+        rays = _raycount_lookup(key)
+    if rays is None:
+        rays = (
+            count_rays_frame(renderer.device_scene, renderer.static, rs,
+                             cam)
+            if count else 0
+        )
+        if count and key is not None:
+            _raycount_store(key, rays)
     count_s = time.perf_counter() - t0
 
-    def frame():
-        return render_frame(renderer.device_scene, renderer.static, rs,
-                            jnp.asarray(cam))
+    if devices > 1:
+        from raytpu.parallel.dist import make_mesh, render_sharded
+
+        mesh = make_mesh(devices)
+
+        def frame():
+            return render_sharded(renderer.device_scene, renderer.static,
+                                  rs, jnp.asarray(cam), mesh=mesh)
+    else:
+        def frame():
+            return render_frame(renderer.device_scene, renderer.static, rs,
+                                jnp.asarray(cam))
 
     mean_s, times = measure_frame(frame, warmup=1, iters=frames)
     # fast frames need more pipelined iterations for an honest mean: the
@@ -380,6 +515,7 @@ def run_benchmark(
     out = {
         "preset": preset if isinstance(preset, str) else "custom",
         "backend": backend,
+        **({"devices": devices} if devices > 1 else {}),
         "width": rs.width,
         "height": rs.height,
         "spp": rs.samples_per_pixel,

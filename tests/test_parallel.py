@@ -162,3 +162,26 @@ def test_renderer_devices_config(small_scene):
     img_multi = r8.render_np()
     np.testing.assert_allclose(img_multi, img_single, atol=1e-6)
     scene2.config = scene2.config.replace(devices=1)
+
+
+def test_sharded_bench_mode():
+    """The multi-chip bench entry (`run_benchmark(devices=N)` behind
+    `RAYTPU_BENCH_DEVICES`) runs on a CPU mesh: shards the frame over all
+    8 virtual devices and reports sane timings (VERDICT r3 item 7)."""
+    res = "/root/reference/resources"
+    import os
+
+    if not os.path.isdir(res):
+        pytest.skip("reference resources not mounted")
+    from raytpu.bench import run_benchmark
+
+    cfg = RenderConfig(
+        objects=(
+            ObjectConfig(f"{res}/cube.obj", MaterialType.MIRROR, "static"),
+        ),
+        skybox_dir=f"{res}/skybox_texture_test",
+        width=64, height=64, samples_per_pixel=1, max_bounce_count=1,
+    )
+    r = run_benchmark(preset=cfg, frames=2, count=False, devices=8)
+    assert r["devices"] == 8
+    assert r["frame_ms"] > 0 and r["fps"] > 0
