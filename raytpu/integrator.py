@@ -107,6 +107,15 @@ class RenderStatic:
     sky_rebin: str = "auto"    # "auto" | "on" | "off" (see _use_sky_rebin)
     divergence: str = "off"  # see RenderConfig.divergence
     wavefront: str = "compact"  # see RenderConfig.wavefront
+    fused: str = "auto"  # fused Pallas bounce epilogue (ops/epilogue.py):
+                         # "auto" = on-TPU, "on" = force (interpret mode
+                         # off-TPU — the CPU semantics test), "off" = XLA
+                         # body. A real field, not an env var: RenderStatic
+                         # is the jit cache key, so A/B legs can't alias.
+    shadow_order: str = "origin"  # anyhit sweep entry order
+                                  # (ops/mega.entry_perm): "origin" |
+                                  # "light". Bit-identical either way
+                                  # (occlusion is an order-independent OR).
     bounce_unroll: bool = False  # see RenderConfig.bounce_unroll
     fold_spp: bool = True  # trace all spp waves in one folded sweep
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =
@@ -160,6 +169,39 @@ class RenderStatic:
             bounce_unroll=config.bounce_unroll,
             validation=config.validation,
         )
+
+
+def _use_fused(static: SceneStatic, rs: "RenderStatic", p: int,
+               k: int) -> bool:
+    """Route the bounce loop through the fused Pallas epilogue kernels
+    (``ops/epilogue.py``)? TPU-only, default ON (``RAYTPU_FUSED=0``
+    escapes for A/B legs). Requires the packed-ABI sweep tiers and the
+    default scheduling knobs — the experiment knobs (divergence
+    scheduling, bounce unrolling) keep the XLA body, as do CPU/interpret
+    runs (where the goldens + scalar oracle pin the semantics). The
+    ``wavefront="compact"`` packet compaction is subsumed: the fused
+    kernels never materialize the unpacked planes the compacted waves
+    were saving passes over."""
+    import os
+
+    # env override maps onto the field for whole-process A/B legs
+    mode = os.environ.get("RAYTPU_FUSED", "") or rs.fused
+    mode = {"0": "off", "1": "on"}.get(mode, mode)
+    if mode == "off":
+        return False
+    if rs.divergence != "off" or rs.bounce_unroll:
+        return False
+    # "on" forces the path off-TPU too (interpret-mode kernels — slow,
+    # for the CPU semantic-equality test); "auto" engages on TPU only
+    if mode != "on" and jax.default_backend() != "tpu":
+        return False
+    from raytpu.ops.mega import BLOCK_PACKETS
+    from raytpu.ops.trace import packed_tier_available
+    from raytpu.ops.traverse_pallas import PACKET_K
+
+    if k != PACKET_K or p % BLOCK_PACKETS != 0:
+        return False
+    return packed_tier_available(static, p, k, tier="loop")
 
 
 def _wave_budget(p: int) -> int:
@@ -263,6 +305,135 @@ def _interpolate_normal_soa(
     return v3.normalize(n_world)
 
 
+def _trace_sample_fused(
+    scene: DeviceScene,
+    static: SceneStatic,
+    rs: RenderStatic,
+    o,                       # Vec3 of (P, K)
+    d,                       # Vec3 of (P, K)
+    sample_idx: jnp.ndarray,
+    active0: jnp.ndarray,    # (P, K) initial lane mask
+    group: int = 1,
+):
+    """The bounce loop on the PACKED ABI with fused Pallas epilogues
+    (``ops/epilogue.py``): the loop carries the sweeps' packed ray/state
+    buffers, the inter-sweep elementwise body runs as exactly two kernel
+    passes per iteration, and the per-bounce ``pack_rays`` /
+    ``unpack_state`` copies vanish. Semantics = ``bounce_core`` exactly
+    (FMA-contraction ulps aside); see the epilogue module docstring."""
+    from raytpu.ops.epilogue import accumulate_epilogue, shade_epilogue
+    from raytpu.ops.trace import anyhit_sweep_packed, closest_sweep_packed
+    from raytpu.ops.traverse_pallas import (
+        K_LANE,
+        K_SUB,
+        make_trace_state_reg,
+        pack_rays,
+    )
+
+    p, k = o[0].shape
+    amb = shade.ambient_tuple()
+    tmp = jnp.broadcast_to(
+        jnp.asarray(amb, jnp.float32).reshape(3, 1, 1, 1),
+        (3, p, K_SUB, K_LANE),
+    )
+    # per-PACKET decay: the spp fold keeps sample index constant per
+    # packet row (render_packets), so the (P, K) decay plane of the XLA
+    # body collapses to a (P,) scalar vector the accumulate kernel reads
+    # from SMEM — one fewer carried plane
+    s = sample_idx.astype(jnp.float32)
+    s_row = s[:, 0] if s.ndim == 2 else jnp.broadcast_to(s, (p,))
+    decay_p = SAMPLE_DECAY ** s_row
+
+    rays = pack_rays(o, d)
+    win = jnp.where(active0, jnp.float32(RAY_TMAX), 0.0).reshape(
+        p, K_SUB, K_LANE
+    )
+    miss = jnp.zeros((p, K_SUB, K_LANE), jnp.int32)
+
+    def cond(state):
+        j, _, win, _, _ = state
+        return (j <= rs.max_bounce_count) & jnp.any(win > 0.0)
+
+    def body(state, tier="loop"):
+        j, rays, win, tmp, miss = state
+        st = make_trace_state_reg(win)
+        st = closest_sweep_packed(scene, static, rays, RAY_TMIN, st,
+                                  group=group, tier=tier)
+        srays, swin, ab, lit, rays, win, miss = shade_epilogue(
+            rays, st, miss, scene.light_pos, scene.light_intensity
+        )
+
+        def do_shadow(_):
+            return anyhit_sweep_packed(scene, static, srays, RAY_TMIN,
+                                       swin, group=group, tier=tier,
+                                       order=rs.shadow_order)
+
+        # same skip policy as the XLA body (see bounce_core)
+        if rs.max_bounce_count <= 4 and rs.samples_per_pixel > 1:
+            occ = do_shadow(None)
+        else:
+            occ = jax.lax.cond(
+                jnp.any(lit != 0),
+                do_shadow,
+                lambda _: jnp.zeros((p, K_SUB, K_LANE), jnp.int32),
+                operand=None,
+            )
+        tmp = accumulate_epilogue(occ, ab, lit, tmp, decay_p,
+                                  scene.light_pos, scene.light_intensity)
+        return j + 1, rays, win, tmp, miss
+
+    state0 = (jnp.int32(0), rays, win, tmp, miss)
+    if static.traversal == "hybrid":
+        state0 = body(state0, tier="primary")   # peeled coherent j=0
+    _, rays, _, tmp, miss = jax.lax.while_loop(cond, body, state0)
+
+    d_f = tuple(rays[3 + c].reshape(p, k) for c in range(3))
+    tmp_t = tuple(tmp[c].reshape(p, k) for c in range(3))
+    missed = miss.reshape(p, k) != 0
+    if rs.validation:
+        from raytpu.utils.validation import jit_guard
+
+        tmp_t = jit_guard(tmp_t, "bounce-loop radiance")
+        d_f = jit_guard(d_f, "final ray directions")
+    return _deferred_sky(scene, static, rs, k, missed, d_f, tmp_t)
+
+
+def _deferred_sky(scene, static, rs, k, missed, d, tmp):
+    """Deferred once-per-wave skybox fetch + miss replacement
+    (``src/shader.rgen:90-94``) — shared tail of the XLA and fused bounce
+    loops; see the no-carry note in ``_trace_sample``."""
+    sky_h, sky_w = static.sky_hw
+    mdx = jnp.where(missed, d[0], 0.0)
+    mdy = jnp.where(missed, d[1], 0.0)
+    mdz = jnp.where(missed, -d[2], 1.0)
+    if rs.skybox_filter == "bilinear" and _use_mxu_sky(rs, k, sky_h, sky_w):
+        # MXU texture unit (ops/sky_mxu.py): true bilinear via tent-weight
+        # matmuls at single-tap cost; divergent packets take its tiered
+        # compacted-gather fallback. (Splitting this fetch by miss class —
+        # j=0 coherent vs j≥1 scattered — was measured-REJECTED on chip:
+        # config4 160.7 → 172.0, config5 20.3 → 21.5. The second analyze
+        # + kernel pass costs more than it saves because the compacted
+        # gather's cost is a per-tap floor insensitive to how many of its
+        # lanes are masked duplicates; see docs/roadmap.md round-3e.)
+        sky = sky_mxu.sample_cubemap_u32_mxu(
+            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz), missed,
+            rebin=_use_sky_rebin(rs), quad=scene.skybox_quad,
+        )
+    elif rs.skybox_filter == "bilinear":
+        sky = sample_cubemap_u32(
+            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz)
+        )
+    elif rs.skybox_filter == "nearest":
+        sky = sample_cubemap_u32_nearest(
+            scene.skybox_u32, sky_h, sky_w, (mdx, mdy, mdz)
+        )
+    else:  # "bilinear2x": single tap into the 2x-prefiltered map
+        sky = sample_cubemap_u32_nearest(
+            scene.skybox_u32_2x, 2 * sky_h, 2 * sky_w, (mdx, mdy, mdz)
+        )
+    return v3.where(missed, sky, tmp)
+
+
 def _trace_sample(
     scene: DeviceScene,
     static: SceneStatic,
@@ -275,6 +446,9 @@ def _trace_sample(
 ):
     """One sample wave through the bounce loop → Vec3 color of (P, K)."""
     p, k = o[0].shape
+    if _use_fused(static, rs, p, k):
+        return _trace_sample_fused(scene, static, rs, o, d, sample_idx,
+                                   active0, group)
     amb = shade.ambient_tuple()
     tmp = tuple(jnp.full((p, k), c, jnp.float32) for c in amb)  # :81
     # 0.9^i quirk (:128); broadcast per-lane so compacted waves can slice it
@@ -344,6 +518,7 @@ def _trace_sample(
                 group=group,
                 sparse=rs.divergence,
                 tier=tier,
+                order=rs.shadow_order,
             )
 
         # Shallow multi-sample bounce loops run the shadow sweep
@@ -483,7 +658,13 @@ def _trace_sample(
         # per-iteration math — isolates lax.while_loop mechanics (carried-
         # buffer copies around the aliased sweep kernels) from sweep cost.
         # Executable holds max_bounce_count+1 copies of the sweep kernels,
-        # so this is capped to shallow loops.
+        # so this is capped to shallow loops. Known 1-ulp drift vs the
+        # while path (tests/test_knob_matrix.py tolerates exactly that):
+        # XLA compiles a while body as its own computation and contracts
+        # FMAs differently there than in inline code — measured at
+        # max 7.5e-9 on 14/3072 pixels of the 32x32 knob scene, and NOT
+        # removable by optimization_barrier between iterations (the
+        # contraction choice is intra-fusion, not cross-iteration).
         state = state0
         for _ in range(1 if peel else 0, rs.max_bounce_count + 1):
             state = body(state)

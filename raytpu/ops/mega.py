@@ -31,13 +31,19 @@ not model aliased block revisits). Enforced on TPU by
 ``raytpu.bench.bit_identity_check`` (run inside every driver bench and by
 ``tests/test_mega.py::test_mega_bit_identity``).
 
-Bit-identity caveats (implementation-defined tie order): octant-ordered
-walks + depth-sorted entries visit triangles/entries in a different order
-than the chained path, and hits merge with strict ``t < best_t``, so
-EXACTLY-tied hits (coincident coplanar triangles across chunks or
-instances) resolve first-wins and may yield a different mat/normal/u/v
-than the chain. No preset scene contains coincident geometry; scenes that
-do fall outside the invariant.
+Bit-identity tie-order note: octant-ordered walks + depth-sorted entries
+visit triangles/entries in a different order than the chained path, and
+hits merge with strict ``t < best_t``, so EXACTLY-tied hits (coincident
+coplanar triangles across chunks or instances) could in principle resolve
+first-wins differently. Since round 4 this boundary is MEASURED, not just
+documented: the driver bench renders a deliberately tie-prone scene (two
+coincident cube instances with different materials,
+``raytpu.bench.tie_scene_config``) through all tiers — result ``n_diff=0``
+(recorded as ``tie_check`` in the bench artifact). Why they agree: entry
+depth-sorting uses a STABLE argsort, so exactly-tied entry depths preserve
+build order — every tier then visits the tied instances in the same order
+and strict-< keeps the first. A scene engineered to give tied triangles
+different entry depths per tier could still diverge; none is known.
 """
 
 from __future__ import annotations
@@ -429,6 +435,28 @@ def chunk_block_hits(
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
     bits = jnp.sum(h * weights[None, None, :], axis=2, dtype=jnp.uint32)
     return bits, octs, depth
+
+
+def entry_perm(scene, static, depth, roots=None, entries=None,
+               order: str = "origin") -> jnp.ndarray:
+    """Sweep entry permutation.
+
+    * ``"origin"`` — ascending conservative entry distance from the ray
+      origins (the closest-hit default: carried ``best_t`` tightens before
+      far chunks, parking occluded walks at their root test).
+    * ``"light"`` — ascending distance from the POINT LIGHT to the entry's
+      world root box. Shadow rays all converge on one light
+      (``src/shader.rgen:107-112``); occluders near the light subtend the
+      largest solid angle of the shadow cone, so testing them first fires
+      the any-hit early-exit for the most lanes. Occlusion is an
+      order-independent OR, so this is bit-identical by construction.
+    """
+    if order == "light":
+        lo, hi = _world_root_boxes(scene, static, roots, entries)
+        lp = scene.light_pos[None, :]
+        cl = jnp.clip(lp, lo, hi)
+        return jnp.argsort(jnp.sum((cl - lp) ** 2, axis=1))
+    return jnp.argsort(depth)
 
 
 # ---------------------------------------------------------------------------
@@ -1097,6 +1125,7 @@ def mega_anyhit_sweep(
     tmax_reg: jnp.ndarray,   # (P, 8, 128) per-lane shadow window
     occ: jnp.ndarray,        # (P, 8, 128) int32, consumed (donated)
     group: int,
+    order: str = "origin",   # entry order (entry_perm)
 ) -> jnp.ndarray:
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
@@ -1126,7 +1155,7 @@ def mega_anyhit_sweep(
     meshof = jnp.asarray([m for _, m in entries], jnp.int32)
     instid = jnp.asarray([i for i, _ in entries], jnp.int32)
     # near-first entries: occluded lanes drop out of later chunk walks
-    perm = jnp.argsort(depth)
+    perm = entry_perm(scene, static, depth, roots, entries, order)
     bits = jnp.take(bits, perm, axis=0)
     meshof = jnp.take(meshof, perm)
     instid = jnp.take(instid, perm)

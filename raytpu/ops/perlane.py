@@ -1554,6 +1554,8 @@ def perlane_anyhit_sweep(
     tmin: float,
     tmax_reg: jnp.ndarray,   # (P, 8, 128)
     occ: jnp.ndarray,        # (P, 8, 128) int32 (donated)
+    order: str = "origin",   # entry order (mega.entry_perm; "light" =
+                             # nearest-the-light occluders first)
 ) -> jnp.ndarray:
     p = rays.shape[1]
     assert p % BLOCK_PACKETS == 0
@@ -1581,7 +1583,9 @@ def perlane_anyhit_sweep(
     e_n = len(entries)
     meshof = jnp.asarray([mm for _, mm in entries], jnp.int32)
     instid = jnp.asarray([i for i, _ in entries], jnp.int32)
-    perm = jnp.argsort(depth)
+    from raytpu.ops.mega import entry_perm
+
+    perm = entry_perm(scene, static, depth, roots, entries, order)
     bits = jnp.take(bits, perm, axis=0)
     meshof = jnp.take(meshof, perm)
     instid = jnp.take(instid, perm)

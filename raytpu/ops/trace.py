@@ -348,6 +348,7 @@ def any_hit_wave(
                           # waves are sparse — "split" walks sub-tile
                           # packets, "sort" packs live lanes
     tier: str = "loop",   # see closest_hit_wave
+    order: str = "origin",  # entry order (ops/mega.entry_perm)
 ) -> jnp.ndarray:
     """Packet-layout occlusion query over all instances (component-SoA)."""
     from raytpu.ops import vec3 as v3
@@ -363,7 +364,7 @@ def any_hit_wave(
         tmax_reg = tmax_pk.reshape(p, 8, 128)
         occ = jnp.zeros((p, 8, 128), jnp.int32)
         occ = perlane_anyhit_sweep(scene, static, rays, tmin, tmax_reg,
-                                   occ)
+                                   occ, order=order)
         return occ.reshape(p, k) != 0
 
     if _use_mega(static, p, k):
@@ -397,7 +398,7 @@ def any_hit_wave(
         tmax_reg = tmax_pk.reshape(p, 8, 128)
         occ = jnp.zeros((p, 8, 128), jnp.int32)
         occ = mega_anyhit_sweep(scene, static, rays, tmin, tmax_reg, occ,
-                                g)
+                                g, order=order)
         occ = occ.reshape(p, k)
         if seg:
             occ = rb.permute(occ, rank)
@@ -456,6 +457,94 @@ def any_hit_wave(
             ).reshape(p, k)
         occluded = occluded | occ
     return occluded
+
+
+def packed_tier_available(static: SceneStatic, p: int, k: int,
+                          tier: str = "loop") -> bool:
+    """True when SOME packed-ABI sweep tier (perlane / mega / chained
+    Pallas) will serve a (p, k) wave — the precondition for the fused
+    bounce-epilogue path (``ops/epilogue.py``), which carries the packed
+    ray/state buffers through the loop instead of unpacking per bounce."""
+    return (
+        _use_perlane(static, p, k, tier)
+        or _use_mega(static, p, k)
+        or _all_pallas(static, k)
+    )
+
+
+def closest_sweep_packed(
+    scene: DeviceScene,
+    static: SceneStatic,
+    rays: jnp.ndarray,     # (6, P, 8, 128) packed world rays
+    tmin: float,
+    state: jnp.ndarray,    # (9, P, 8, 128) fresh packed state
+    group: int = 1,
+    tier: str = "loop",
+) -> jnp.ndarray:
+    """Closest-hit sweep on the packed ABI (state in, merged state out) —
+    the fused bounce loop's trace step. Dispatches exactly like
+    :func:`closest_hit_wave` minus the unpack/normalize epilogue (the
+    fused shade kernel normalizes in-kernel)."""
+    p = rays.shape[1]
+    from raytpu.ops.traverse_pallas import PACKET_K
+
+    if _use_perlane(static, p, PACKET_K, tier):
+        from raytpu.ops.perlane import perlane_closest_sweep
+
+        return perlane_closest_sweep(scene, static, rays, tmin, state)
+    if _use_mega(static, p, PACKET_K):
+        from raytpu.ops.mega import mega_closest_sweep
+
+        return mega_closest_sweep(scene, static, rays, tmin, state, group)
+    # chained per-chunk Pallas kernels (the TPU gate's reference tier)
+    from raytpu.ops.traverse_pallas import ST_T, pallas_closest_chain
+
+    live = jnp.any(
+        state[ST_T].reshape(p, -1) > tmin, axis=1
+    ).astype(jnp.int32)
+    for inst_id, mesh_id in static.traversal_list:
+        state = pallas_closest_chain(
+            scene, static, mesh_id, inst_id, rays, tmin, live, state
+        )
+    return state
+
+
+def anyhit_sweep_packed(
+    scene: DeviceScene,
+    static: SceneStatic,
+    rays: jnp.ndarray,      # (6, P, 8, 128) packed shadow rays
+    tmin: float,
+    tmax_reg: jnp.ndarray,  # (P, 8, 128) per-lane occlusion window
+    group: int = 1,
+    tier: str = "loop",
+    order: str = "origin",  # entry order (ops/mega.entry_perm)
+) -> jnp.ndarray:
+    """Occlusion sweep on the packed ABI → (P, 8, 128) i32 occ flags."""
+    p = rays.shape[1]
+    from raytpu.ops.traverse_pallas import K_LANE, K_SUB, PACKET_K
+
+    occ = jnp.zeros((p, K_SUB, K_LANE), jnp.int32)
+    if _use_perlane(static, p, PACKET_K, tier):
+        from raytpu.ops.perlane import perlane_anyhit_sweep
+
+        return perlane_anyhit_sweep(scene, static, rays, tmin, tmax_reg,
+                                    occ, order=order)
+    if _use_mega(static, p, PACKET_K):
+        from raytpu.ops.mega import mega_anyhit_sweep
+
+        return mega_anyhit_sweep(scene, static, rays, tmin, tmax_reg, occ,
+                                 group, order=order)
+    from raytpu.ops.traverse_pallas import pallas_anyhit_chain
+
+    live = jnp.any(
+        tmax_reg.reshape(p, -1) > tmin, axis=1
+    ).astype(jnp.int32)
+    for inst_id, mesh_id in static.traversal_list:
+        occ = pallas_anyhit_chain(
+            scene, static, mesh_id, inst_id, rays, tmin, live, tmax_reg,
+            occ,
+        )
+    return occ
 
 
 def _use_perlane(static: SceneStatic, p: int, k: int,

@@ -471,7 +471,14 @@ def make_trace_state(lane_tmax: jnp.ndarray) -> jnp.ndarray:
     """Fresh per-bounce packed state; ``lane_tmax`` (P, K) doubles as the
     per-lane trace window (0 ⇒ inactive lane)."""
     p, k = lane_tmax.shape
-    t = lane_tmax.reshape(1, p, K_SUB, K_LANE)
+    return make_trace_state_reg(lane_tmax.reshape(p, K_SUB, K_LANE))
+
+
+def make_trace_state_reg(win: jnp.ndarray) -> jnp.ndarray:
+    """``make_trace_state`` from an already register-shaped (P, 8, 128)
+    window plane (the fused bounce loop carries windows in this shape)."""
+    p = win.shape[0]
+    t = win.reshape(1, p, K_SUB, K_LANE)
     # single fused pass (a 9-plane concatenate costs ~7x more): plane-index
     # select over a lazily-broadcast template
     idx = jnp.arange(9, dtype=jnp.int32).reshape(9, 1, 1, 1)
