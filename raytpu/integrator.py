@@ -112,10 +112,17 @@ class RenderStatic:
                          # off-TPU — the CPU semantics test), "off" = XLA
                          # body. A real field, not an env var: RenderStatic
                          # is the jit cache key, so A/B legs can't alias.
-    shadow_order: str = "origin"  # anyhit sweep entry order
-                                  # (ops/mega.entry_perm): "origin" |
-                                  # "light". Bit-identical either way
-                                  # (occlusion is an order-independent OR).
+    shadow_order: str = "light"  # anyhit sweep entry order
+                                 # (ops/mega.entry_perm): "light" (default —
+                                 # entries sorted by distance from the point
+                                 # light, so the occluders shadowing the most
+                                 # lanes test first and the early-exit fires
+                                 # sooner; measured config4 126.4→123.8 ms,
+                                 # reference 72.3→70.5, config5 noise-neutral,
+                                 # tools/r6_shadow_ab.py) | "origin" (mean
+                                 # ray-origin depth). Bit-identical either
+                                 # way (occlusion is an order-independent OR;
+                                 # asserted on-chip n_diff=0).
     bounce_unroll: bool = False  # see RenderConfig.bounce_unroll
     fold_spp: bool = True  # trace all spp waves in one folded sweep
     tile: int = 32         # pixel tile edge; packet size K = tile² (32² =

@@ -59,6 +59,9 @@ OAT = (
     + [{"wavefront": "full"}]
     + [{"sky_rebin": "on"}]
     + [{"bounce_unroll": True}]
+    + [{"shadow_order": "origin"}]  # non-default since round 4 (the TPU
+    # mega/perlane entry orders are covered by the on-chip identity gate;
+    # this pins the knob's plumbing on the CPU tiers)
     + [
         {"divergence": "sort", "wavefront": "full"},
         {"divergence": "split", "wavefront": "full", "sky_rebin": "on",
