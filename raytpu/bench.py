@@ -235,10 +235,16 @@ def _profile_stages_body(
 
         rays = pack_rays(o, d)
         group = rs.sample_group
+        # the device scene is a jit ARGUMENT everywhere below: closing
+        # over it inlines the BVH/treelet tables as HLO constants, and the
+        # axon remote-compile request then exceeds the tunnel's body-size
+        # limit (HTTP 413) on big scenes — the same closed-over-constants
+        # trap CLAUDE.md documents for timing
         prepass = jax.jit(
-            lambda r, w: chunk_block_hits(scene, static, r, w, RAY_TMIN)
+            lambda sc, r, w: chunk_block_hits(sc, static, r, w, RAY_TMIN)
         )
-        timed("prepass", prepass, rays, lane_tmax.reshape(p, 8, 128))
+        timed("prepass", prepass, scene, rays,
+              lane_tmax.reshape(p, 8, 128))
         if use_pl:
             # profile the tier the frame actually dispatches to
             from raytpu.ops.perlane import (
@@ -247,31 +253,32 @@ def _profile_stages_body(
             )
 
             sweep = jax.jit(
-                lambda rays, state: perlane_closest_sweep(
-                    scene, static, rays, RAY_TMIN, state)
+                lambda sc, rays, state: perlane_closest_sweep(
+                    sc, static, rays, RAY_TMIN, state)
             )
 
-            def anyhit(rays, tmax_reg, occ):
+            def anyhit(sc, rays, tmax_reg, occ):
                 return perlane_anyhit_sweep(
-                    scene, static, rays, RAY_TMIN, tmax_reg, occ)
+                    sc, static, rays, RAY_TMIN, tmax_reg, occ,
+                    order=rs.shadow_order)
 
             anyhit = jax.jit(anyhit)
         else:
             sweep = jax.jit(
-                functools.partial(
-                    mega_closest_sweep, scene, static, tmin=RAY_TMIN,
-                    group=group
-                )
+                lambda sc, rays, state: mega_closest_sweep(
+                    sc, static, rays=rays, state=state, tmin=RAY_TMIN,
+                    group=group)
             )
             anyhit = jax.jit(
-                functools.partial(
-                    mega_anyhit_sweep, scene, static, tmin=RAY_TMIN,
-                    group=group
-                )
+                lambda sc, rays, tmax_reg, occ: mega_anyhit_sweep(
+                    sc, static, rays=rays, tmax_reg=tmax_reg, occ=occ,
+                    tmin=RAY_TMIN, group=group, order=rs.shadow_order)
             )
         state1 = timed(
             "closest_sweep",
-            lambda r: sweep(rays=r, state=make_trace_state(lane_tmax)),
+            lambda sc, r: sweep(sc, rays=r, state=make_trace_state(
+                lane_tmax)),
+            scene,
             rays,
         )
         # --- derive the j=0 continuations exactly as the integrator does,
@@ -289,9 +296,11 @@ def _profile_stages_body(
         shadow_win = jnp.where(lit, light_dist, 0.0).reshape(p, 8, 128)
         timed(
             "shadow_anyhit",
-            lambda r, w: anyhit(
-                rays=r, tmax_reg=w, occ=jnp.zeros((p, 8, 128), jnp.int32)
+            lambda sc, r, w: anyhit(
+                sc, rays=r, tmax_reg=w,
+                occ=jnp.zeros((p, 8, 128), jnp.int32)
             ),
+            scene,
             shadow_rays,
             shadow_win,
         )
@@ -304,7 +313,8 @@ def _profile_stages_body(
         bounce_tmax = jnp.where(cont, jnp.float32(RAY_TMAX), 0.0)
         state2 = timed(
             "bounce_sweep",
-            lambda r, w: sweep(rays=r, state=make_trace_state(w)),
+            lambda sc, r, w: sweep(sc, rays=r, state=make_trace_state(w)),
+            scene,
             pack_rays(o_b, d_b),
             bounce_tmax,
         )
@@ -321,9 +331,11 @@ def _profile_stages_body(
         l2 = v3.scale(1.0 / jnp.maximum(ld2, 1e-30), to_l2)
         timed(
             "bounce_shadow",
-            lambda r, w: anyhit(
-                rays=r, tmax_reg=w, occ=jnp.zeros((p, 8, 128), jnp.int32)
+            lambda sc, r, w: anyhit(
+                sc, rays=r, tmax_reg=w,
+                occ=jnp.zeros((p, 8, 128), jnp.int32)
             ),
+            scene,
             pack_rays(sh2_o, l2),
             jnp.where(lit2, ld2, 0.0).reshape(p, 8, 128),
         )
@@ -337,17 +349,18 @@ def _profile_stages_body(
             sky_h, sky_w, PACKET_K
         ) and jax.default_backend() == "tpu":
             sky_fn = jax.jit(
-                lambda dd: sky_mxu.sample_cubemap_u32_mxu(
-                    scene.skybox_u32, sky_h, sky_w, dd, in_frame
+                lambda tex, dd: sky_mxu.sample_cubemap_u32_mxu(
+                    tex, sky_h, sky_w, dd, in_frame
                 )
             )
         else:
             sky_fn = jax.jit(
-                lambda dd: sample_cubemap_u32(
-                    scene.skybox_u32, sky_h, sky_w, dd
+                lambda tex, dd: sample_cubemap_u32(
+                    tex, sky_h, sky_w, dd
                 )
             )
-        timed("sky", sky_fn, (d[0], d[1], jnp.negative(d[2])))
+        timed("sky", sky_fn, scene.skybox_u32,
+              (d[0], d[1], jnp.negative(d[2])))
 
 
 def tie_scene_config(width: int = 128, height: int = 96):

@@ -351,9 +351,6 @@ def _trace_sample_fused(
     s_row = s[:, 0] if s.ndim == 2 else jnp.broadcast_to(s, (p,))
     decay_p = SAMPLE_DECAY ** s_row
 
-    from raytpu.ops.epilogue import EMIT_STATE
-    from raytpu.ops.traverse_pallas import ST_T
-
     rays = pack_rays(o, d)
     win = jnp.where(active0, jnp.float32(RAY_TMAX), 0.0).reshape(
         p, K_SUB, K_LANE
@@ -361,24 +358,17 @@ def _trace_sample_fused(
     miss = jnp.zeros((p, K_SUB, K_LANE), jnp.int32)
 
     def cond(state):
-        # carry slot 2 is the next window plane, or (EMIT_STATE) the
-        # fresh next trace state whose ST_T plane IS that window
         j, _, w, _, _ = state
-        w = w[ST_T] if EMIT_STATE else w
         return (j <= rs.max_bounce_count) & jnp.any(w > 0.0)
 
     def body(state, tier="loop"):
         j, rays, win, tmp, miss = state
-        st = win if EMIT_STATE else make_trace_state_reg(win)
-        st = closest_sweep_packed(scene, static, rays, RAY_TMIN, st,
+        st = closest_sweep_packed(scene, static, rays, RAY_TMIN,
+                                  make_trace_state_reg(win),
                                   group=group, tier=tier)
-        outs = shade_epilogue(
+        srays, swin, ab, lit, rays, win, miss = shade_epilogue(
             rays, st, miss, scene.light_pos, scene.light_intensity
         )
-        if EMIT_STATE:
-            srays, swin, ab, lit, rays, _, miss, win = outs
-        else:
-            srays, swin, ab, lit, rays, win, miss = outs
 
         def do_shadow(_):
             return anyhit_sweep_packed(scene, static, srays, RAY_TMIN,
@@ -399,8 +389,7 @@ def _trace_sample_fused(
                                   scene.light_pos, scene.light_intensity)
         return j + 1, rays, win, tmp, miss
 
-    w0 = make_trace_state_reg(win) if EMIT_STATE else win
-    state0 = (jnp.int32(0), rays, w0, tmp, miss)
+    state0 = (jnp.int32(0), rays, win, tmp, miss)
     if static.traversal == "hybrid":
         state0 = body(state0, tier="primary")   # peeled coherent j=0
     _, rays, _, tmp, miss = jax.lax.while_loop(cond, body, state0)

@@ -57,28 +57,26 @@ from raytpu.config import (
 from raytpu.ops.traverse_pallas import (
     K_LANE,
     K_SUB,
-    ST_INST,
     ST_MAT,
     ST_NX,
     ST_NY,
     ST_NZ,
     ST_T,
-    ST_U,
-    ST_V,
     ST_VALID,
 )
 
 # packets per grid step: BP x (8,128) x f32 = BP*4 KB/plane-block;
 # ~35 plane-blocks live per step + double buffering — the per-step
 # invocation floor (~0.5 us) amortizes over BP packets, so bigger is
-# better until VMEM pressure (BP=16 ≈ 2.2 MB x2 buffers). Env knob for
-# the on-chip A/B (one process per leg — trace-time constant).
-BP = int(__import__("os").environ.get("RAYTPU_EPI_BP", "8"))
-
-# emit the NEXT iteration's fresh trace state directly from the shade
-# kernel (9 planes: window + cleared hit fields) instead of the separate
-# XLA make_trace_state pass over the window plane
-EMIT_STATE = __import__("os").environ.get("RAYTPU_EPI_STATE", "0") == "1"
+# better until VMEM pressure. On-chip sweep (tools/r6_epiknobs_ab.sh,
+# one process per leg): BP=8 → 123.8/18.85 ms (config4/config5),
+# BP=16 → 122.9/18.51, BP=32 → 122.9/18.58 (saturated). Default 16.
+# (An EMIT_STATE variant that emitted the next iteration's fresh 9-plane
+# trace state from the shade kernel — replacing the XLA make_trace_state
+# broadcast-select pass — was measured-REJECTED in the same sweep:
+# config4 123.8 → 131.0, config5 18.85 → 19.74; nine extra kernel output
+# planes cost more HBM writes than the fused XLA pass they displace.)
+BP = int(__import__("os").environ.get("RAYTPU_EPI_BP", "16"))
 
 
 def _i32(x):
@@ -97,7 +95,6 @@ def _shade_kernel(
     nrays_ref,            # out (6, BP, 8, 128) continuation rays (alias)
     nwin_ref,             # out (BP, 8, 128) next trace window
     miss_out,             # out (BP, 8, 128) i32 (alias)
-    *maybe_st_next,       # out (9, BP, 8, 128) fresh next state (EMIT_STATE)
 ):
     o = [rays_ref[c] for c in range(3)]
     d = [rays_ref[3 + c] for c in range(3)]
@@ -189,31 +186,13 @@ def _shade_kernel(
         nrays_ref[3 + c] = jnp.where(
             cont, jnp.where(is_mirror, refl[c], d_r[c]), d[c]
         )
-    nwin = jnp.where(cont, jnp.float32(RAY_TMAX), 0.0)
-    nwin_ref[...] = nwin
-    if maybe_st_next:
-        # the next iteration's make_trace_state, emitted in-kernel: fresh
-        # window in ST_T, cleared hit fields (inst = -1 bits, nz = 1)
-        st_next = maybe_st_next[0]
-        zero = jnp.zeros_like(nwin)
-        neg1 = jax.lax.bitcast_convert_type(
-            jnp.full_like(nwin, 0, jnp.int32) - 1, jnp.float32
-        )
-        st_next[ST_T] = nwin
-        st_next[ST_VALID] = zero
-        st_next[ST_MAT] = zero
-        st_next[ST_INST] = neg1
-        st_next[ST_NX] = zero
-        st_next[ST_NY] = zero
-        st_next[ST_NZ] = jnp.ones_like(nwin)
-        st_next[ST_U] = zero
-        st_next[ST_V] = zero
+    nwin_ref[...] = jnp.where(cont, jnp.float32(RAY_TMAX), 0.0)
 
 
 def shade_epilogue(rays, state, miss, light_pos, light_intensity):
     """Post-closest-sweep fused body: (packed rays, packed state, miss) →
     (shadow rays, shadow windows, phong a/b, lit, next rays, next windows,
-    miss'[, next state under EMIT_STATE]). ``rays`` and ``miss`` buffers
+    miss'). ``rays`` and ``miss`` buffers
     are donated (aliased)."""
     p = rays.shape[1]
     assert p % BP == 0
@@ -240,11 +219,6 @@ def shade_epilogue(rays, state, miss, light_pos, light_intensity):
         jax.ShapeDtypeStruct((2, p, K_SUB, K_LANE), jnp.float32),
         iplane, rays6, plane, iplane,
     ]
-    if EMIT_STATE:
-        out_specs.append(spec(9))
-        out_shape.append(
-            jax.ShapeDtypeStruct((9, p, K_SUB, K_LANE), jnp.float32)
-        )
     return pl.pallas_call(
         _shade_kernel,
         grid=(p // BP,),
