@@ -22,6 +22,8 @@ Semantics:
 
 from __future__ import annotations
 
+import os
+
 from typing import NamedTuple, Tuple
 
 import jax
@@ -34,8 +36,13 @@ DET_EPS = 1e-9
 BIG_T = 3.0e38
 # Max triangles tested per BVH leaf; traversal loops (XLA + Pallas) unroll
 # exactly this many intersection tests per leaf visit, and builders must not
-# emit larger leaves (enforced in raytpu/accel/__init__.py).
-LEAF_UNROLL = 4
+# emit larger leaves (enforced in raytpu/accel/__init__.py). Env knob for
+# the leaf-densification A/B (VERDICT r3 item 8): RAYTPU_LEAF_SIZE sets
+# BOTH this unroll and RenderConfig.leaf_size's default. Capped at 7 —
+# the per-lane link words carry only 3 cnt bits (perlane.pack_link_word
+# and the pair word both mask cnt with `& 7` in-kernel).
+LEAF_UNROLL = int(os.environ.get("RAYTPU_LEAF_SIZE", "4"))
+assert 1 <= LEAF_UNROLL <= 7, "RAYTPU_LEAF_SIZE must be in [1, 7]"
 
 
 class Hit(NamedTuple):

@@ -163,11 +163,12 @@ W_PK = 4
 #         (2 reductions per step, lanes never idle-stall)
 STALL_SCHED = True
 
-# compact MT-table rows: 4 slots x 9 tri coords (+ 4 x 9 normal coords for
-# the closest set), padded to a sublane multiple
-ROWS_TRI = 4 * 9
-ROWS_CLOSEST = 80   # 36 tri + 36 nrm + pad
-ROWS_ANYHIT = 40    # 36 tri + pad
+# compact MT-table rows: LEAF_UNROLL slots x 9 tri coords (+ as many
+# normal coords for the closest set), padded to a sublane multiple
+# (leaf 4: 36 tri → 80/40 rows; leaf 7: 63 tri → 128/64 rows)
+ROWS_TRI = LEAF_UNROLL * 9
+ROWS_CLOSEST = -(-2 * ROWS_TRI // 8) * 8
+ROWS_ANYHIT = -(-ROWS_TRI // 8) * 8
 OFF_NRM_ROW = ROWS_TRI
 
 
