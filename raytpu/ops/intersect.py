@@ -36,12 +36,20 @@ DET_EPS = 1e-9
 BIG_T = 3.0e38
 # Max triangles tested per BVH leaf; traversal loops (XLA + Pallas) unroll
 # exactly this many intersection tests per leaf visit, and builders must not
-# emit larger leaves (enforced in raytpu/accel/__init__.py). Env knob for
-# the leaf-densification A/B (VERDICT r3 item 8): RAYTPU_LEAF_SIZE sets
-# BOTH this unroll and RenderConfig.leaf_size's default. Capped at 7 —
+# emit larger leaves (enforced in raytpu/accel/__init__.py). RAYTPU_LEAF_SIZE
+# sets BOTH this unroll and RenderConfig.leaf_size's default. Capped at 7 —
 # the per-lane link words carry only 3 cnt bits (perlane.pack_link_word
 # and the pair word both mask cnt with `& 7` in-kernel).
-LEAF_UNROLL = int(os.environ.get("RAYTPU_LEAF_SIZE", "4"))
+#
+# Default 7 (was 4), the round-4 leaf-densification result: fat SAH
+# leaves trade interior pair steps (gather-latency-bound) for wider
+# Moller-Trumbore unrolls inside the same drain (throughput work the VPU
+# overlaps). Same-era on-chip A/B at 4 -> 6 -> 7 (one process per leg,
+# bit-identity gate green): config4 122.8 -> 112.7 -> 110.8 ms,
+# reference 69.7 -> (-) -> 60.7, config5 18.05 -> 17.58 -> 17.50;
+# config2/config3/config1 neutral (21.6/36.6/1.43 -> 21.8/36.3/1.31).
+# Monotone toward the 3-bit cap, so 7 ships.
+LEAF_UNROLL = int(os.environ.get("RAYTPU_LEAF_SIZE", "7"))
 assert 1 <= LEAF_UNROLL <= 7, "RAYTPU_LEAF_SIZE must be in [1, 7]"
 
 

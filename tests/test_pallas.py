@@ -151,6 +151,10 @@ def test_pallas_per_lane_tmax_prunes():
 
 
 def test_smem_budget_math():
+    from raytpu.ops.intersect import LEAF_UNROLL
+
     assert fits_smem(1400, 2300)          # teapot class
     assert not fits_smem(210_000, 330_000)  # armadillo monolithic
-    assert smem_bytes(1000, 1000) == 9 * 1000 * 4 + 18 * 1004 * 4
+    assert smem_bytes(1000, 1000) == (
+        9 * 1000 * 4 + 18 * (1000 + LEAF_UNROLL) * 4
+    )

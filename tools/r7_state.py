@@ -48,6 +48,8 @@ def main() -> int:
             print(json.dumps({preset: r,
                               "t": round(time.perf_counter() - t0, 1)}),
                   flush=True)
+        if os.environ.get("R7_STAGES", "1") == "0":
+            continue
         t0 = time.perf_counter()
         sc = load_preset_scene(preset)
         rr = Renderer(sc)
