@@ -99,10 +99,12 @@ def config5_flythrough(resource_dir: Optional[str] = None) -> RenderConfig:
         height=1080,
         samples_per_pixel=1,
         max_bounce_count=3,
-        # fine BLAS chunks shorten the divergent spp=1 bounce walks on the
-        # small meshes: 36.6 -> 34.1 ms same-session (tools/r4_auto_probe,
-        # tools/r4_finechunk), renders bit-identical (n_diff 0)
-        chunk_tris=2048,
+        # chunk_tris was pinned to 2048 in the leaf_size-4 era (fine
+        # chunks shortened the divergent spp=1 bounce walks: 36.6 -> 34.1
+        # same-session, tools/r4_finechunk). At leaf_size 7 the optimum
+        # flipped back to unchunked small meshes (tools/r7_c5chunk, same
+        # session: 1024 -> 17.67, 2048 -> 17.50, >=3072 i.e. one chunk
+        # per mesh -> 17.19 ms), so the pin is gone.
     )
 
 
