@@ -37,9 +37,9 @@ BIG_T = 3.0e38
 # Max triangles tested per BVH leaf; traversal loops (XLA + Pallas) unroll
 # exactly this many intersection tests per leaf visit, and builders must not
 # emit larger leaves (enforced in raytpu/accel/__init__.py). RAYTPU_LEAF_SIZE
-# sets BOTH this unroll and RenderConfig.leaf_size's default. Capped at 7 —
-# the per-lane link words carry only 3 cnt bits (perlane.pack_link_word
-# and the pair word both mask cnt with `& 7` in-kernel).
+# sets BOTH this unroll and RenderConfig.leaf_size's default. Capped at 15 —
+# the per-lane pair link word carries 4 cnt bits (bits 23-26, swap at 27;
+# kernels mask cnt with `& 15`).
 #
 # Default 7 (was 4), the round-4 leaf-densification result: fat SAH
 # leaves trade interior pair steps (gather-latency-bound) for wider
@@ -48,9 +48,10 @@ BIG_T = 3.0e38
 # bit-identity gate green): config4 122.8 -> 112.7 -> 110.8 ms,
 # reference 69.7 -> (-) -> 60.7, config5 18.05 -> 17.58 -> 17.50;
 # config2/config3/config1 neutral (21.6/36.6/1.43 -> 21.8/36.3/1.31).
-# Monotone toward the 3-bit cap, so 7 ships.
+# 7 was monotone-best up to the old 3-bit cnt cap; the 4-bit repack
+# opens 8-15 for probing (tools/r8_leafwide.sh is the on-chip A/B).
 LEAF_UNROLL = int(os.environ.get("RAYTPU_LEAF_SIZE", "7"))
-assert 1 <= LEAF_UNROLL <= 7, "RAYTPU_LEAF_SIZE must be in [1, 7]"
+assert 1 <= LEAF_UNROLL <= 15, "RAYTPU_LEAF_SIZE must be in [1, 15]"
 
 
 class Hit(NamedTuple):

@@ -135,7 +135,7 @@ QD = 4
 # exactly-coincident triangles can differ (the documented mega caveat).
 #
 # Link word: near | far<<7 | pexit<<14 | int_near<<21 | int_far<<22 |
-# cnt<<23 | swap<<26. near/far are octant-ordered child ids; pexit is the
+# cnt<<23 (4 bits) | swap<<27. near/far are octant-ordered child ids; pexit is the
 # leaf-skipping exit target; int_* flag interior children; cnt is the
 # node's OWN triangle count (drains gather it from the queued leaf's own
 # word); swap says the octant-near child is the build-order SECOND child
@@ -446,16 +446,16 @@ def pack_perlane_tables(
 
         if pair:
             cnt_self = np.maximum(c["count"][in_t], 0) * leaf[in_t]
-            # cnt has only 3 bits (23-25) before swap at bit 26: a leaf
-            # count > 7 would silently corrupt swap. Bounded upstream by
+            # cnt has 4 bits (23-26) before swap at bit 27: a leaf
+            # count > 15 would silently corrupt swap. Bounded upstream by
             # leaf_size <= LEAF_UNROLL (accel/__init__.py), but fail
             # LOUDLY here if a future leaf-size bump violates it. Note
             # builders never emit count==0 leaves (asserted at the MT
             # pack below) — _pair_step enqueues leaf children without a
             # cnt>0 gate, so an empty leaf would burn queue slots.
-            assert cnt_self.max(initial=0) <= 7, (
+            assert cnt_self.max(initial=0) <= 15, (
                 f"pair link word cnt field overflow: leaf count "
-                f"{cnt_self.max()} > 7 corrupts the swap bit"
+                f"{cnt_self.max()} > 15 corrupts the swap bit"
             )
             c1g = np.minimum(ids + 1, n - 1)
             c2g = np.minimum(c["miss"][c1g], n - 1)
@@ -497,7 +497,7 @@ def pack_perlane_tables(
                     | (int_n << 21)
                     | (int_f << 22)
                     | (cnt_self.astype(np.int64) << 23)
-                    | (swap[in_t].astype(np.int64) << 26)
+                    | (swap[in_t].astype(np.int64) << 27)
                 ).astype(np.int32)
                 links[ci, o, tl, :, ll] = word[:, None]
         else:
@@ -731,7 +731,7 @@ def _pair_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
     pexit = (word >> 14) & jnp.int32(127)
     int_n = ((word >> 21) & 1) != 0
     int_f = ((word >> 22) & 1) != 0
-    swap = ((word >> 26) & 1) != 0
+    swap = ((word >> 27) & 1) != 0
     if bits == 8:
         box_a, box_b = _slab_pair8(pln_ref, qs6, site, lnode, o, d_inv,
                                    tmin, bt)
@@ -835,7 +835,7 @@ def _walk_closest_perlane(
                 for j2 in range(1, QD):
                     qn = jnp.where(j == j2, qss[i][j2], qn)
                 occm = qcs[i] > j
-                cntq = (_look(lnk_ref[site], qn) >> cshift) & 7
+                cntq = (_look(lnk_ref[site], qn) >> cshift) & 15
                 for k in range(LEAF_UNROLL):
                     t, u, v, hit = _mt_bank(mt_ref, site, k, qn, o, d,
                                             tmin, bt)
@@ -1070,7 +1070,7 @@ def _walk_anyhit_perlane(
                 for j2 in range(1, QD):
                     qn = jnp.where(j == j2, qss[i][j2], qn)
                 occm = qcs[i] > j
-                cntq = (_look(lnk_ref[site], qn) >> cshift) & 7
+                cntq = (_look(lnk_ref[site], qn) >> cshift) & 15
                 for k in range(LEAF_UNROLL):
                     _, _, _, hit = _mt_bank(mt_ref, site, k, qn, o, d,
                                             tmin, wns[i])

@@ -182,8 +182,8 @@ def test_packed_tables_pair(chunk):
         pexit = (word >> 14) & 127
         int_n = (word >> 21) & 1
         int_f = (word >> 22) & 1
-        cnt = (word >> 23) & 7
-        swap = (word >> 26) & 1
+        cnt = (word >> 23) & 15
+        swap = (word >> 27) & 1
         if leaf[g]:
             # leaf (stepped only as a single-leaf treelet root): near =
             # self pushed once, far routed to DONE with int_f=1 (slot B's

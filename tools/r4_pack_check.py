@@ -167,7 +167,7 @@ def _unpack_pln8(w, org, sc, sh):
 def _unpack_pair_lnk(w):
     """Pair link word -> (near, far, pexit, int_n, int_f, cnt, swap)."""
     return (w & 127, (w >> 7) & 127, (w >> 14) & 127,
-            (w >> 21) & 1, (w >> 22) & 1, (w >> 23) & 7, (w >> 26) & 1)
+            (w >> 21) & 1, (w >> 22) & 1, (w >> 23) & 15, (w >> 27) & 1)
 
 
 def twolevel_walk(ci, arrays, lay, oct_tab, oct_id, o3, d3, bt,
