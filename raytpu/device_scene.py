@@ -67,8 +67,20 @@ class DeviceScene(NamedTuple):
     # clamp-to-edge 2x2 bilinear footprint (c[y,x] | c[y,x1]<<8 |
     # c[y1,x]<<16 | c[y1,x1]<<24) — exact bilinear from THREE gathers per
     # lane (one per channel) instead of four taps; the gather cost of the
-    # MXU sky sampler's divergent-packet fallback is per-tap latency-bound
-    skybox_quad: Optional[jnp.ndarray] = None  # (3, 6*H*W) uint32
+    # MXU sky sampler's divergent-packet fallback is per-tap latency-bound.
+    # Layout is PER-SCENE, picked in build_device_scene from the measured
+    # A/B (tools/r7_skyquad_ab.py, same-session legs on the real chip):
+    #   spp > 1  → STACKED (3, 6HW), sliced per channel in-jit. The slice
+    #     re-lays-out all 3×25M words every frame (~1.9 ms fusion), but
+    #     gathers from the fresh copies run much faster at spp>1's large
+    #     fallback budgets: config4 stacked 110.87 vs flat 117.25 / split
+    #     117.2 ms; reference 61.0 vs 61.55.
+    #   spp == 1 → FLAT (3·6HW,), indexed at c·6HW + idx, no relayout:
+    #     config5 17.43 (split; flat ≡) vs stacked 17.94 — the small
+    #     (p/16-tier) gather can't amortize the relayout.
+    # sample_cubemap_u32_quad accepts stacked/flat/tuple interchangeably
+    # (bit-identical outputs, pinned by tests/test_sky.py).
+    skybox_quad: Optional[jnp.ndarray] = None  # (3,6HW) or (3*6*H*W,) u32
 
     # acceleration structure arrays (None until attached by raytpu.accel):
     # threaded (skip-link) BVH, concatenated over meshes
@@ -232,7 +244,11 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         chy = np.concatenate([ch[:, 1:, :], ch[:, -1:, :]], axis=1)
         chxy = np.concatenate([chx[:, 1:, :], chx[:, -1:, :]], axis=1)
         quad[c] = ch | (chx << 8) | (chy << 16) | (chxy << 24)
-    skybox_quad = quad.reshape(3, -1)
+    # stacked for spp>1, flat for spp=1 — see the field docstring
+    if scene.config.samples_per_pixel > 1:
+        skybox_quad = quad.reshape(3, -1)
+    else:
+        skybox_quad = quad.reshape(-1)
 
     # 2x bilinear prefilter: sample positions land on the half-texel grid,
     # so a nearest tap here == bilinear with weights quantized to {0,.5,1}.

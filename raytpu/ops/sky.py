@@ -140,11 +140,16 @@ def sample_cubemap_u32(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
     return tuple(out)
 
 
-def sample_cubemap_u32_quad(skybox_quad: jnp.ndarray, h: int, w: int, dirs):
+def sample_cubemap_u32_quad(skybox_quad, h: int, w: int, dirs):
     """Bilinear lookup from the per-channel QUAD-packed map: THREE gathers
     per lane (one per channel) instead of four taps.
 
-    ``skybox_quad``: (3, 6·H·W) uint32, word (c, f·H·W + y·W + x) =
+    ``skybox_quad``: the per-channel quad table, accepted in THREE layouts
+    (the A/B probe tools/r7_skyquad_ab.py exercises all of them):
+    a tuple of three (6·H·W,) uint32 arrays, one (3, 6·H·W) stacked array
+    (sliced per channel — XLA re-lays-out all 3×6HW words every frame),
+    or one FLAT (3·6·H·W,) array indexed at ``c·6HW + idx`` (no slice, no
+    relayout). Word (c, f·H·W + y·W + x) =
     ``c[y,x] | c[y,x1]<<8 | c[y1,x]<<16 | c[y1,x1]<<24`` with clamp-to-edge
     x1/y1 (built in ``device_scene.build_device_scene``). BIT-IDENTICAL to
     :func:`sample_cubemap_u32`: same texel bytes, same unpack constants,
@@ -165,9 +170,14 @@ def sample_cubemap_u32_quad(skybox_quad: jnp.ndarray, h: int, w: int, dirs):
     y_edge = jnp.floor(t * h - 0.5) < 0.0
     idx = face * (h * w) + y0c * w + x0c
     inv = jnp.float32(1.0 / 255.0)
+    flat = (not isinstance(skybox_quad, (tuple, list))
+            and skybox_quad.ndim == 1)
     out = []
     for c in range(3):
-        word = jnp.take(skybox_quad[c], idx, axis=0)
+        if flat:
+            word = jnp.take(skybox_quad, c * (6 * h * w) + idx, axis=0)
+        else:
+            word = jnp.take(skybox_quad[c], idx, axis=0)
         c00 = (word & 0xFF).astype(jnp.float32) * inv
         c01 = ((word >> 8) & 0xFF).astype(jnp.float32) * inv
         c10 = ((word >> 16) & 0xFF).astype(jnp.float32) * inv

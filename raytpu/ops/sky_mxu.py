@@ -93,9 +93,11 @@ SKY_SUPER = 4  # packets per grid step (amortizes the per-step floor over
 # (nbad above the largest tier falls to the FULL per-lane gather).
 # Module-level so probes can sweep it (tools/r4_skybudget_ab.py).
 FALLBACK_DIV = 8
-# When true, _sample_mxu returns the per-wave bad-packet count broadcast
+# When truthy, _sample_mxu returns a per-wave diagnostic count broadcast
 # as the sky value instead of sampling (probe-only, never default; axon
 # supports no debug callbacks, so the count rides the frame output).
+# True/"nbad" = bad-packet count; "lanes" = miss-LANE count within bad
+# packets (sizes a lane-compacted fallback).
 DEBUG_NBAD = False
 
 _INV255 = 1.0 / 255.0
@@ -477,7 +479,9 @@ def _sample_mxu(skybox_u32, h, w, dirs, miss, *, bilinear: bool,
     if DEBUG_NBAD:
         # axon has no debug callbacks: smuggle the count out as the sky
         # value (every miss pixel reads nbad; probe takes frame.max())
-        dbg = jnp.broadcast_to(nbad.astype(jnp.float32), (p, k))
+        cnt = ((miss & bad[:, None]).sum() if DEBUG_NBAD == "lanes"
+               else nbad)
+        dbg = jnp.broadcast_to(cnt.astype(jnp.float32), (p, k))
         return (dbg, dbg, dbg)
 
     def compacted(budget: int):

@@ -172,6 +172,15 @@ def test_quad_pack_bit_identical_to_four_tap():
     for c in range(3):
         assert np.array_equal(np.asarray(got[c]), np.asarray(want[c])), c
 
+    # the sampler accepts three quad-table layouts (stacked / flat /
+    # tuple — build_device_scene picks per scene); all bit-identical
+    got_flat = sample_cubemap_u32_quad(quad.reshape(-1), h, w, dirs)
+    got_tup = sample_cubemap_u32_quad(
+        tuple(quad[c] for c in range(3)), h, w, dirs)
+    for c in range(3):
+        assert np.array_equal(np.asarray(got_flat[c]), np.asarray(want[c]))
+        assert np.array_equal(np.asarray(got_tup[c]), np.asarray(want[c]))
+
 
 def test_device_scene_quad_table_matches_packed():
     """build_device_scene's quad table agrees with the packed map texels."""
