@@ -75,12 +75,15 @@ class DeviceScene(NamedTuple):
     #     gathers from the fresh copies run much faster at spp>1's large
     #     fallback budgets: config4 stacked 110.87 vs flat 117.25 / split
     #     117.2 ms; reference 61.0 vs 61.55.
-    #   spp == 1 → FLAT (3·6HW,), indexed at c·6HW + idx, no relayout:
-    #     config5 17.43 (split; flat ≡) vs stacked 17.94 — the small
-    #     (p/16-tier) gather can't amortize the relayout.
+    #   spp == 1 → TUPLE of three (6HW,) inputs, no relayout: config5
+    #     split 17.43 vs stacked 17.94 vs flat 18.42 — the small
+    #     (p/16-tier) gather can't amortize the relayout, and the single
+    #     flat (3·6HW,) array with c·6HW+idx offsets measured WORST of
+    #     the three on both presets (config4 flat 117.25), so flat is
+    #     never built (the sampler still accepts it).
     # sample_cubemap_u32_quad accepts stacked/flat/tuple interchangeably
     # (bit-identical outputs, pinned by tests/test_sky.py).
-    skybox_quad: Optional[jnp.ndarray] = None  # (3,6HW) or (3*6*H*W,) u32
+    skybox_quad: Optional[object] = None  # (3,6HW) u32 or 3-tuple (6HW,)
 
     # acceleration structure arrays (None until attached by raytpu.accel):
     # threaded (skip-link) BVH, concatenated over meshes
@@ -244,11 +247,8 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         chy = np.concatenate([ch[:, 1:, :], ch[:, -1:, :]], axis=1)
         chxy = np.concatenate([chx[:, 1:, :], chx[:, -1:, :]], axis=1)
         quad[c] = ch | (chx << 8) | (chy << 16) | (chxy << 24)
-    # stacked for spp>1, flat for spp=1 — see the field docstring
-    if scene.config.samples_per_pixel > 1:
-        skybox_quad = quad.reshape(3, -1)
-    else:
-        skybox_quad = quad.reshape(-1)
+    # stacked for spp>1, tuple for spp=1 — see the field docstring
+    skybox_quad = quad.reshape(3, -1)
 
     # 2x bilinear prefilter: sample positions land on the half-texel grid,
     # so a nearest tap here == bilinear with weights quantized to {0,.5,1}.
@@ -294,7 +294,9 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         tri_n_soa=jnp.asarray(tri_n_soa),
         skybox_u32=jnp.asarray(skybox_u32),
         skybox_u32_2x=jnp.asarray(skybox_u32_2x),
-        skybox_quad=jnp.asarray(skybox_quad),
+        skybox_quad=(jnp.asarray(skybox_quad)
+                     if scene.config.samples_per_pixel > 1 else
+                     tuple(jnp.asarray(skybox_quad[c]) for c in range(3))),
     )
 
     prim_ranges = []
