@@ -55,14 +55,20 @@ def main():
         out[leg] = int(float(f.max()))
     else:
         # explicit per-leg layout (the BUILD default is per-scene since
-        # the spp>1→stacked / spp=1→flat heuristic landed)
+        # the spp>1→stacked / spp=1→tuple heuristic landed); "asbuilt"
+        # keeps the scene's own choice — use it for non-layout A/Bs
+        # (e.g. tools/r8_leafwide.sh) so each preset rides its best
+        q = dev.skybox_quad
+        if not isinstance(q, tuple):
+            q = tuple(q.reshape(3, -1)[c] for c in range(3))
         if leg == "stacked":
-            dev = dev._replace(skybox_quad=dev.skybox_quad.reshape(3, -1))
+            dev = dev._replace(skybox_quad=jnp.stack(q))
         elif leg == "split":
-            q = dev.skybox_quad.reshape(3, -1)
-            dev = dev._replace(skybox_quad=tuple(q[c] for c in range(3)))
+            dev = dev._replace(skybox_quad=q)
         elif leg == "flat":
-            dev = dev._replace(skybox_quad=dev.skybox_quad.reshape(-1))
+            dev = dev._replace(skybox_quad=jnp.concatenate(q))
+        elif leg != "asbuilt":
+            raise SystemExit(f"unknown leg {leg!r}")
 
         def frame(dev=dev, rr=rr, cam=cam):
             return render_frame(dev, rr.static, rr.render_static, cam)

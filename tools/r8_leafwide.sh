@@ -4,10 +4,10 @@
 # executables); gate first at the widest leaf, then frame legs.
 set -x
 cd /root/repo
-RAYTPU_LEAF_SIZE=12 timeout 2400 python bench.py --selftest
-for leaf in 8 10 12; do
-  for preset in config4 config5 reference; do
+RAYTPU_LEAF_SIZE=10 timeout 2400 python bench.py --selftest
+for leaf in 8 10; do
+  for preset in config4 config5; do
     RAYTPU_LEAF_SIZE=$leaf \
-      timeout 2400 python tools/r7_skyquad_ab.py "$preset" split
+      timeout 2400 python tools/r7_skyquad_ab.py "$preset" asbuilt
   done
 done
