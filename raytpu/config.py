@@ -151,11 +151,11 @@ class RenderConfig:
     # beat the extra prepass entries once trees are shallow. The
     # anyhit-specialized shadow set keeps its own coarser partition.
     chunk_tris: int = 0
-    # max triangles per BVH leaf (default 7, the measured optimum — see
-    # ops/intersect.LEAF_UNROLL for the A/B numbers; the pair link word's
+    # max triangles per BVH leaf (default 12, the measured optimum — see
+    # ops/intersect.LEAF_UNROLL for the A/B table; the pair link word's
     # 4-bit cnt field caps it at 15; RAYTPU_LEAF_SIZE overrides BOTH this
     # and the traversal unroll — one env var keeps them consistent)
-    leaf_size: int = int(os.environ.get("RAYTPU_LEAF_SIZE", "7"))
+    leaf_size: int = int(os.environ.get("RAYTPU_LEAF_SIZE", "12"))
     bvh_builder: str = "auto"     # "auto" | "native" | "sah" | "median" | "lbvh"
     # "auto" | "hybrid" | "perlane" | "mega" | "xla" | "pallas" | "brute"
     # ("hybrid": per-lane tier for the peeled primary sweeps, megakernel

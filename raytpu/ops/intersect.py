@@ -41,16 +41,19 @@ BIG_T = 3.0e38
 # the per-lane pair link word carries 4 cnt bits (bits 23-26, swap at 27;
 # kernels mask cnt with `& 15`).
 #
-# Default 7 (was 4), the round-4 leaf-densification result: fat SAH
-# leaves trade interior pair steps (gather-latency-bound) for wider
-# Moller-Trumbore unrolls inside the same drain (throughput work the VPU
-# overlaps). Same-era on-chip A/B at 4 -> 6 -> 7 (one process per leg,
-# bit-identity gate green): config4 122.8 -> 112.7 -> 110.8 ms,
-# reference 69.7 -> (-) -> 60.7, config5 18.05 -> 17.58 -> 17.50;
-# config2/config3/config1 neutral (21.6/36.6/1.43 -> 21.8/36.3/1.31).
-# 7 was monotone-best up to the old 3-bit cnt cap; the 4-bit repack
-# opens 8-15 for probing (tools/r8_leafwide.sh is the on-chip A/B).
-LEAF_UNROLL = int(os.environ.get("RAYTPU_LEAF_SIZE", "7"))
+# Default 12, the round-4 leaf-densification result: fat SAH leaves
+# trade interior pair steps (gather-latency-bound, ~280 ns each) for
+# wider Moller-Trumbore unrolls inside the same drain (throughput work
+# the VPU overlaps). On-chip A/B, one process per leg, bit-identity gate
+# green at every probed size (tools/r8_leafwide*.sh; 4..7 from the
+# 3-bit-cap era first, 8..15 after the 4-bit cnt repack):
+#   leaf      4      6      7      8     10     12     15
+#   config4 122.8  112.7  110.9  107.7  104.1  100.8  101.4
+#   config5 18.05  17.58  17.43  17.06  16.92  16.33  16.55
+# reference 69.7 -> 60.7 at 4 -> 7; config1/2/3 neutral across 4 -> 7.
+# Minimum at 12 on both heavy presets; 15 regresses slightly, so the
+# 4-bit field cap is no longer binding.
+LEAF_UNROLL = int(os.environ.get("RAYTPU_LEAF_SIZE", "12"))
 assert 1 <= LEAF_UNROLL <= 15, "RAYTPU_LEAF_SIZE must be in [1, 15]"
 
 
