@@ -18,20 +18,27 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import os
+
 import numpy as np
 
 from raytpu.ops.traverse_pallas import fits_smem
 
-# triangles per chunk: nodes ≈ 0.65·T for leaf_size 4; tables carry 18 f32
-# per triangle (corners + shading normals) + 36B per node → ~90B/tri.
-# Sized so even node-heavy SAH trees stay under the SMEM budget; fewer
-# chunks directly cut the per-(packet,chunk) grid-step floor (~0.5µs each).
-CHUNK_TRIS = 9216
+# triangles per chunk: tables carry 18 f32 per triangle (corners +
+# shading normals) + 36B per node → ~81B/tri at leaf 12 (nodes ≈ T/4).
+# Sized so even node-heavy SAH trees stay under the SMEM budget (model
+# cap ~12.1k at leaf 12); fewer chunks directly cut the
+# per-(packet,chunk) grid-step floor (~0.5µs each). 9216 was the leaf-4
+# value; the leaf-12 re-sweep (tools/r8_c4chunk.sh, same session) is
+# monotone up: config4 6144/9216/11264 → 103.2/100.8/98.8 ms. 11264
+# ships (the last ~800 tris to the model cap are headroom against
+# node-heavy trees).
+CHUNK_TRIS = int(os.environ.get("RAYTPU_CHUNK_TRIS", "11264"))
 
-# anyhit-specialized chunks drop the 9 normal planes (~64B/tri incl.
-# nodes), so occlusion sweeps fit ~1.5× more triangles per SMEM chunk —
-# fewer entries (root parks) and table DMAs per shadow sweep.
-CHUNK_TRIS_SHADOW = 13824
+# anyhit-specialized chunks drop the 9 normal planes (~45B/tri incl.
+# nodes at leaf 12), so occlusion sweeps fit more triangles per SMEM
+# chunk — fewer entries (root parks) and table DMAs per shadow sweep.
+CHUNK_TRIS_SHADOW = int(os.environ.get("RAYTPU_CHUNK_TRIS_SHADOW", "13824"))
 
 
 def morton_codes(centroids: np.ndarray) -> np.ndarray:
