@@ -63,27 +63,19 @@ class DeviceScene(NamedTuple):
     # 2x bilinear-prefiltered packed map: single-tap sampling with at most
     # a quarter-texel error vs true bilinear (the default filter)
     skybox_u32_2x: Optional[jnp.ndarray] = None  # (6*2H*2W,) uint32
-    # per-channel QUAD-packed map: word at (f,y,x) holds one channel's full
+    # QUAD-packed map: word (c, f·HW + y·W + x) holds channel c's full
     # clamp-to-edge 2x2 bilinear footprint (c[y,x] | c[y,x1]<<8 |
-    # c[y1,x]<<16 | c[y1,x1]<<24) — exact bilinear from THREE gathers per
-    # lane (one per channel) instead of four taps; the gather cost of the
-    # MXU sky sampler's divergent-packet fallback is per-tap latency-bound.
-    # Layout is PER-SCENE, picked in build_device_scene from the measured
-    # A/B (tools/r7_skyquad_ab.py, same-session legs on the real chip):
-    #   spp > 1  → STACKED (3, 6HW), sliced per channel in-jit. The slice
-    #     re-lays-out all 3×25M words every frame (~1.9 ms fusion), but
-    #     gathers from the fresh copies run much faster at spp>1's large
-    #     fallback budgets: config4 stacked 110.87 vs flat 117.25 / split
-    #     117.2 ms; reference 61.0 vs 61.55.
-    #   spp == 1 → TUPLE of three (6HW,) inputs, no relayout: config5
-    #     split 17.43 vs stacked 17.94 vs flat 18.42 — the small
-    #     (p/16-tier) gather can't amortize the relayout, and the single
-    #     flat (3·6HW,) array with c·6HW+idx offsets measured WORST of
-    #     the three on both presets (config4 flat 117.25), so flat is
-    #     never built (the sampler still accepts it).
-    # sample_cubemap_u32_quad accepts stacked/flat/tuple interchangeably
-    # (bit-identical outputs, pinned by tests/test_sky.py).
-    skybox_quad: Optional[object] = None  # (3,6HW) u32 or 3-tuple (6HW,)
+    # c[y1,x]<<16 | c[y1,x1]<<24) — exact bilinear lookups for the MXU sky
+    # sampler's divergent-packet fallback. Layout is INTERLEAVED
+    # (6HW, 3): XLA's TPU gather is charged per INDEX, not per gathered
+    # word (device-time probe tools/r9_gatherprobe3.py), so one gather of
+    # a contiguous 3-word row costs a third of the three per-channel
+    # gathers the earlier layouts paid — the round-4 per-scene
+    # stacked/tuple split (tools/r7_skyquad_ab.py: relayout-fusion vs
+    # gather-speed trade) is obsolete, both were optimizing the slow
+    # form. sample_cubemap_u32_quad still accepts stacked/flat/tuple
+    # interchangeably (bit-identical outputs, pinned by tests/test_sky.py).
+    skybox_quad: Optional[object] = None  # (6HW, 3) u32 (or legacy forms)
 
     # acceleration structure arrays (None until attached by raytpu.accel):
     # threaded (skip-link) BVH, concatenated over meshes
@@ -247,8 +239,8 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         chy = np.concatenate([ch[:, 1:, :], ch[:, -1:, :]], axis=1)
         chxy = np.concatenate([chx[:, 1:, :], chx[:, -1:, :]], axis=1)
         quad[c] = ch | (chx << 8) | (chy << 16) | (chxy << 24)
-    # stacked for spp>1, tuple for spp=1 — see the field docstring
-    skybox_quad = quad.reshape(3, -1)
+    # interleaved (6HW, 3): one row gather per lane — see field docstring
+    skybox_quad = np.ascontiguousarray(quad.reshape(3, -1).T)
 
     # 2x bilinear prefilter: sample positions land on the half-texel grid,
     # so a nearest tap here == bilinear with weights quantized to {0,.5,1}.
@@ -294,9 +286,7 @@ def build_device_scene(scene: Scene) -> Tuple[DeviceScene, SceneStatic]:
         tri_n_soa=jnp.asarray(tri_n_soa),
         skybox_u32=jnp.asarray(skybox_u32),
         skybox_u32_2x=jnp.asarray(skybox_u32_2x),
-        skybox_quad=(jnp.asarray(skybox_quad)
-                     if scene.config.samples_per_pixel > 1 else
-                     tuple(jnp.asarray(skybox_quad[c]) for c in range(3))),
+        skybox_quad=jnp.asarray(skybox_quad),
     )
 
     prim_ranges = []

@@ -141,22 +141,25 @@ def sample_cubemap_u32(skybox_u32: jnp.ndarray, h: int, w: int, dirs):
 
 
 def sample_cubemap_u32_quad(skybox_quad, h: int, w: int, dirs):
-    """Bilinear lookup from the per-channel QUAD-packed map: THREE gathers
-    per lane (one per channel) instead of four taps.
+    """Bilinear lookup from the per-channel QUAD-packed map — ideally ONE
+    row gather per lane (interleaved layout), else one gather per channel.
 
-    ``skybox_quad``: the per-channel quad table, accepted in THREE layouts
-    (the A/B probe tools/r7_skyquad_ab.py exercises all of them):
-    a tuple of three (6·H·W,) uint32 arrays, one (3, 6·H·W) stacked array
-    (sliced per channel — XLA re-lays-out all 3×6HW words every frame),
-    or one FLAT (3·6·H·W,) array indexed at ``c·6HW + idx`` (no slice, no
-    relayout). Word (c, f·H·W + y·W + x) =
+    ``skybox_quad``: the quad table, accepted in FOUR layouts
+    (tools/r7_skyquad_ab.py + r9_gatherprobe3.py exercise them):
+    INTERLEAVED (6·H·W, 3) — the default since round 4 — one gather of a
+    contiguous 3-word row per lane; a tuple of three (6·H·W,) uint32
+    arrays; one (3, 6·H·W) stacked array (sliced per channel — XLA
+    re-lays-out all 3×6HW words every frame); or one FLAT (3·6·H·W,)
+    array indexed at ``c·6HW + idx``. Word (c, f·H·W + y·W + x) =
     ``c[y,x] | c[y,x1]<<8 | c[y1,x]<<16 | c[y1,x1]<<24`` with clamp-to-edge
     x1/y1 (built in ``device_scene.build_device_scene``). BIT-IDENTICAL to
-    :func:`sample_cubemap_u32`: same texel bytes, same unpack constants,
-    same weight-combine order. The per-lane gather is latency-bound per
-    TAP (docs/roadmap.md round-3e), so packing a channel's whole 2x2
-    bilinear footprint into one word is a straight 4→3 tap cut on the MXU
-    sky sampler's divergent-packet fallback.
+    :func:`sample_cubemap_u32` in every layout: same texel bytes, same
+    unpack constants, same weight-combine order. The gather is charged
+    per INDEX, not per word (device-time probe tools/r9_gatherprobe3.py:
+    three planar gathers 18.5 ms vs one interleaved row gather 5.6 ms at
+    the 512-packet tier, 4.4 vs 1.4 at 128 — a 3.3x cut), so the
+    interleaved row is the fast layout; the per-channel layouts are kept
+    as measured A/B surfaces.
     """
     face, s, t = face_st(*dirs)
     x0c, x1c, y0c, y1c, wx, wy = _bilinear_coords(s, t, h, w)
@@ -170,11 +173,16 @@ def sample_cubemap_u32_quad(skybox_quad, h: int, w: int, dirs):
     y_edge = jnp.floor(t * h - 0.5) < 0.0
     idx = face * (h * w) + y0c * w + x0c
     inv = jnp.float32(1.0 / 255.0)
-    flat = (not isinstance(skybox_quad, (tuple, list))
-            and skybox_quad.ndim == 1)
+    is_arr = not isinstance(skybox_quad, (tuple, list))
+    flat = is_arr and skybox_quad.ndim == 1
+    interleaved = (is_arr and skybox_quad.ndim == 2
+                   and skybox_quad.shape[1] == 3)
+    rows = jnp.take(skybox_quad, idx, axis=0) if interleaved else None
     out = []
     for c in range(3):
-        if flat:
+        if interleaved:
+            word = rows[..., c]
+        elif flat:
             word = jnp.take(skybox_quad, c * (6 * h * w) + idx, axis=0)
         else:
             word = jnp.take(skybox_quad[c], idx, axis=0)

@@ -172,14 +172,16 @@ def test_quad_pack_bit_identical_to_four_tap():
     for c in range(3):
         assert np.array_equal(np.asarray(got[c]), np.asarray(want[c])), c
 
-    # the sampler accepts three quad-table layouts (stacked / flat /
-    # tuple — build_device_scene picks per scene); all bit-identical
+    # the sampler accepts four quad-table layouts (interleaved — the
+    # build default — / stacked / flat / tuple); all bit-identical
     got_flat = sample_cubemap_u32_quad(quad.reshape(-1), h, w, dirs)
     got_tup = sample_cubemap_u32_quad(
         tuple(quad[c] for c in range(3)), h, w, dirs)
+    got_il = sample_cubemap_u32_quad(quad.T, h, w, dirs)
     for c in range(3):
         assert np.array_equal(np.asarray(got_flat[c]), np.asarray(want[c]))
         assert np.array_equal(np.asarray(got_tup[c]), np.asarray(want[c]))
+        assert np.array_equal(np.asarray(got_il[c]), np.asarray(want[c]))
 
 
 def test_device_scene_quad_table_matches_packed():
@@ -200,7 +202,8 @@ def test_device_scene_quad_table_matches_packed():
     cfg = RenderConfig(objects=(ObjectConfig("t", MaterialType.DIFFUSE),))
     dev, _ = build_device_scene(load_scene(cfg, meshes=[tri], skybox=sky))
     packed = np.asarray(dev.skybox_u32).reshape(6, size, size)
-    quadt = np.asarray(dev.skybox_quad).reshape(3, 6, size, size)
+    # interleaved (6HW, 3) layout — channel-major view for the checks
+    quadt = np.asarray(dev.skybox_quad).T.reshape(3, 6, size, size)
     for c, sh in enumerate((0, 8, 16)):
         ch = (packed >> sh) & 0xFF
         assert np.array_equal(quadt[c] & 0xFF, ch)
