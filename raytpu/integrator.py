@@ -185,10 +185,12 @@ def _use_fused(static: SceneStatic, rs: "RenderStatic", p: int,
     escapes for A/B legs). Requires the packed-ABI sweep tiers and the
     default scheduling knobs — the experiment knobs (divergence
     scheduling, bounce unrolling) keep the XLA body, as do CPU/interpret
-    runs (where the goldens + scalar oracle pin the semantics). The
-    ``wavefront="compact"`` packet compaction is subsumed: the fused
-    kernels never materialize the unpacked planes the compacted waves
-    were saving passes over."""
+    runs (where the goldens + scalar oracle pin the semantics).
+    ``wavefront="compact"`` composes with the fused path as a sort-ONCE
+    live-first packet prefix for the j>=1 iterations (see
+    ``_trace_sample_fused``); the old per-iteration resort is only
+    needed by the XLA body, whose unpacked planes the kernels never
+    materialize."""
     import os
 
     # env override maps onto the field for whole-process A/B legs
@@ -212,14 +214,22 @@ def _use_fused(static: SceneStatic, rs: "RenderStatic", p: int,
 
 
 def _wave_budget(p: int) -> int:
-    """Compacted-wave row budget for ``wavefront="compact"``: ~P/4 packets
-    rounded up to the SEG_PACKETS granule the kernels require. 0 disables
-    compaction (wave too small for the budget to be a real subset)."""
+    """Compacted-wave row budget for ``wavefront="compact"``: the largest
+    DIVISOR of P that is a SEG_PACKETS multiple and ≤ ~P/4 (waves must
+    tile P exactly — disjoint dynamic slices — and the sweep/epilogue
+    kernels need the SEG granule; P is always a SEG_PACKETS multiple,
+    see render_packets' padding). 0 disables compaction (no divisor
+    gives a real subset, i.e. P < 2·SEG_PACKETS)."""
     from raytpu.ops.mega import SEG_PACKETS
 
-    b = -(-(p // 4) // SEG_PACKETS) * SEG_PACKETS
-    b = max(b, SEG_PACKETS)
-    return b if b * 2 <= p else 0
+    cap = max(p // 4, SEG_PACKETS)
+    best = 0
+    b = SEG_PACKETS
+    while b <= cap:
+        if p % b == 0:
+            best = b
+        b += SEG_PACKETS
+    return best if best * 2 <= p else 0
 
 
 def hash_random(pix: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
@@ -357,12 +367,32 @@ def _trace_sample_fused(
     )
     miss = jnp.zeros((p, K_SUB, K_LANE), jnp.int32)
 
+    # compacted j>=1 waves (rs.wavefront == "compact", the default): the
+    # peeled j=0 runs full width, then packets sort live-first ONCE and
+    # later iterations process only a prefix of the wave. Unlike the XLA
+    # body's per-iteration resort (body_compact), one sort suffices here:
+    # liveness is MONOTONE (a continuation mask is a subset of its
+    # iteration's active mask — dead packets never revive), so live
+    # packets stay inside the sorted prefix forever and each iteration
+    # just re-measures the prefix length (last live row + 1). Saves the
+    # full-width per-iteration fixed costs the r9 op trace measured
+    # (~2.6 ms/iteration on config4: shade epilogue 1.54 + accumulate
+    # 0.46 + make_trace_state 0.51) at the price of two 11-plane packet
+    # permutes per frame (~bandwidth). Bit-identical: per-lane math is
+    # permutation-invariant and the waves are disjoint static-size
+    # slices of the sorted layout.
+    budget = _wave_budget(p) if rs.wavefront == "compact" else 0
+    from raytpu.ops.epilogue import BP
+    if budget and (p % budget != 0 or budget % BP != 0):
+        budget = 0
+
     def cond(state):
         j, _, w, _, _ = state
         return (j <= rs.max_bounce_count) & jnp.any(w > 0.0)
 
-    def body(state, tier="loop"):
-        j, rays, win, tmp, miss = state
+    def step(rays, win, tmp, miss, decay_vec, tier="loop"):
+        """One fused bounce iteration at the width of its inputs."""
+        pw = rays.shape[1]
         st = closest_sweep_packed(scene, static, rays, RAY_TMIN,
                                   make_trace_state_reg(win),
                                   group=group, tier=tier)
@@ -382,17 +412,72 @@ def _trace_sample_fused(
             occ = jax.lax.cond(
                 jnp.any(lit != 0),
                 do_shadow,
-                lambda _: jnp.zeros((p, K_SUB, K_LANE), jnp.int32),
+                lambda _: jnp.zeros((pw, K_SUB, K_LANE), jnp.int32),
                 operand=None,
             )
-        tmp = accumulate_epilogue(occ, ab, lit, tmp, decay_p,
+        tmp = accumulate_epilogue(occ, ab, lit, tmp, decay_vec,
                                   scene.light_pos, scene.light_intensity)
+        return rays, win, tmp, miss
+
+    def body(state, tier="loop"):
+        j, rays, win, tmp, miss = state
+        rays, win, tmp, miss = step(rays, win, tmp, miss, decay_p, tier)
         return j + 1, rays, win, tmp, miss
 
     state0 = (jnp.int32(0), rays, win, tmp, miss)
-    if static.traversal == "hybrid":
-        state0 = body(state0, tier="primary")   # peeled coherent j=0
-    _, rays, _, tmp, miss = jax.lax.while_loop(cond, body, state0)
+    hybrid = static.traversal == "hybrid"
+    if hybrid or budget:
+        state0 = body(state0, tier="primary" if hybrid else "loop")
+    if budget:
+        j0, rays, win, tmp, miss = state0
+        plive = jnp.any(win.reshape(p, -1) > 0.0, axis=1)
+        order = jnp.argsort(~plive, stable=True)        # live first
+        inv = jnp.argsort(order, stable=True)
+        rays = jnp.take(rays, order, axis=1)
+        win = jnp.take(win, order, axis=0)
+        tmp = jnp.take(tmp, order, axis=1)
+        miss = jnp.take(miss, order, axis=0)
+        decay_s = jnp.take(decay_p, order, axis=0)
+        rows1 = jnp.arange(1, p + 1, dtype=jnp.int32)
+
+        def body_c(state):
+            j, rays, win, tmp, miss = state
+            live_row = jnp.any(win.reshape(p, -1) > 0.0, axis=1)
+            n_eff = jnp.max(jnp.where(live_row, rows1, 0))
+            n_waves = (n_eff + budget - 1) // budget
+
+            def wave(c, planes):
+                rays, win, tmp, miss = planes
+                start = c * budget      # budget | p: disjoint, in-bounds
+
+                def sl(x, axis):
+                    return jax.lax.dynamic_slice_in_dim(
+                        x, start, budget, axis)
+
+                r_w, w_w, t_w, m_w = step(
+                    sl(rays, 1), sl(win, 0), sl(tmp, 1), sl(miss, 0),
+                    sl(decay_s, 0),
+                )
+                upd = jax.lax.dynamic_update_slice_in_dim
+                return (upd(rays, r_w, start, 1), upd(win, w_w, start, 0),
+                        upd(tmp, t_w, start, 1), upd(miss, m_w, start, 0))
+
+            planes = jax.lax.while_loop(
+                lambda cp: cp[0] < n_waves,
+                lambda cp: (cp[0] + 1, wave(cp[0], cp[1])),
+                (jnp.int32(0), (rays, win, tmp, miss)),
+            )[1]
+            rays, win, tmp, miss = planes
+            return j + 1, rays, win, tmp, miss
+
+        _, rays, _, tmp, miss = jax.lax.while_loop(
+            cond, body_c, (j0, rays, win, tmp, miss)
+        )
+        rays = jnp.take(rays, inv, axis=1)
+        tmp = jnp.take(tmp, inv, axis=1)
+        miss = jnp.take(miss, inv, axis=0)
+    else:
+        _, rays, _, tmp, miss = jax.lax.while_loop(cond, body, state0)
 
     d_f = tuple(rays[3 + c].reshape(p, k) for c in range(3))
     tmp_t = tuple(tmp[c].reshape(p, k) for c in range(3))
@@ -575,6 +660,7 @@ def _trace_sample(
         return j + 1, o, d, tmp, cont, miss_rec
 
     budget = _wave_budget(p) if rs.wavefront == "compact" else 0
+    assert budget == 0 or p % budget == 0  # waves must tile p exactly
 
     def body_compact(state):
         """Bounce iteration over a live-first compacted wave (SURVEY.md §2
@@ -587,8 +673,13 @@ def _trace_sample(
         of `budget` rows process through `bounce_core` via contiguous
         dynamic slices, and the inverse permutation restores frame order.
         Per-lane results are permutation-invariant, so this is
-        bit-identical to the full-width body (overlapping tail waves
-        recompute identical values)."""
+        bit-identical to the full-width body. The budget DIVIDES p
+        (_wave_budget picks a divisor), so the tail-wave clamp below
+        never engages: waves are disjoint. (With a non-divisor budget a
+        clamped tail wave would overlap the previous wave and re-apply
+        bounce_core to already-bounced live rows — an extra bounce, NOT
+        an identical recompute; the divisor rule is what makes this path
+        exact.)"""
         j, o, d, tmp, active, miss_rec = state
         packet_live = jnp.any(active, axis=1)
         order = jnp.argsort(~packet_live, stable=True)      # live first

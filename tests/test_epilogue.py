@@ -59,6 +59,35 @@ def test_fused_epilogue_matches_xla_body(rig):
     assert ref.std() > 0.01
 
 
+def test_fused_compact_waves(rig):
+    """The fused path's sort-once compacted waves (integrator.
+    _trace_sample_fused, ``wavefront="compact"``): BIT-identical to the
+    fused full-width loop, and a few ulps from the XLA body. The frame
+    is sized so compaction actually ENGAGES — 512x130 spp=1 gives 65
+    packets padded to p=128, budget 64 (two waves, the second nearly
+    dead); the default 32x32 rig pads to p=64 where _wave_budget
+    returns 0 and compact silently equals full."""
+    rr, cam = rig
+    rs0 = dataclasses.replace(
+        rr.render_static, width=512, height=130, samples_per_pixel=1,
+        max_bounce_count=3,
+    )
+    full = np.asarray(render_frame(
+        rr.device_scene, rr.static,
+        dataclasses.replace(rs0, fused="on", wavefront="full"), cam
+    ))
+    compact = np.asarray(render_frame(
+        rr.device_scene, rr.static,
+        dataclasses.replace(rs0, fused="on", wavefront="compact"), cam
+    ))
+    assert np.array_equal(compact, full)     # disjoint sorted waves
+    xla = np.asarray(render_frame(
+        rr.device_scene, rr.static,
+        dataclasses.replace(rs0, fused="off", wavefront="full"), cam
+    ))
+    np.testing.assert_allclose(compact, xla, atol=2e-6)
+
+
 def test_fused_spp1_deep_loop(rig):
     """The spp=1 + deep-bounce shape (config5/reference-like): exercises
     the lax.cond shadow skip branch of the fused body."""

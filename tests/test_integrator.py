@@ -272,13 +272,26 @@ def test_three_instance_scene_matches_oracle(resources_dir):
 def test_compact_wavefront_bit_identical(resources_dir):
     """wavefront="compact" (live-first packet waves through the bounce
     loop) must be BIT-IDENTICAL to the full-width loop: per-lane results
-    are permutation-invariant and tail waves recompute identical values.
-    The frame is sized so the wave budget is a real subset (128 packets →
-    budget 64)."""
+    are permutation-invariant and the budget DIVIDES p, so waves are
+    disjoint slices (a non-divisor budget's clamped tail wave would
+    re-apply bounce_core to already-bounced live rows — an extra bounce,
+    not a recompute; _wave_budget must never emit one). The frame is
+    sized so the wave budget is a real subset (128 packets → budget 64).
+    """
     from raytpu.integrator import _wave_budget
+    from raytpu.ops.mega import SEG_PACKETS
 
     assert _wave_budget(128) == 64
     assert _wave_budget(64) == 0      # too small → compaction disabled
+    # divisor invariant over every SEG-multiple p up to a big wave
+    for p in range(SEG_PACKETS, 16384 + 1, SEG_PACKETS):
+        b = _wave_budget(p)
+        if b:
+            assert p % b == 0 and b % SEG_PACKETS == 0 and 2 * b <= p, p
+    assert _wave_budget(320) == 64    # 128 (old ~p/4 round-up) doesn't
+    assert _wave_budget(1920) == 384  # divide; the divisor rule does
+    assert _wave_budget(8192) == 2048
+    assert _wave_budget(2048) == 512
     sky = _gradient_skybox()
     cfg = RenderConfig(
         objects=(
