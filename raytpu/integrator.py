@@ -48,6 +48,7 @@ from raytpu.config import (
     RenderConfig,
 )
 from raytpu.device_scene import DeviceScene, SceneStatic
+from raytpu.ops import raygen
 from raytpu.ops import shade
 from raytpu.ops import vec3 as v3
 from raytpu.ops import sky_mxu
@@ -112,6 +113,11 @@ class RenderStatic:
                          # off-TPU — the CPU semantics test), "off" = XLA
                          # body. A real field, not an env var: RenderStatic
                          # is the jit cache key, so A/B legs can't alias.
+    raygen: str = "auto"  # fused Pallas raygen (ops/raygen.py): "auto" =
+                          # kernel on TPU, "on" = force (interpret mode
+                          # off-TPU — the CPU semantics test), "off" =
+                          # XLA raygen (primary_rays_soa + pack_rays).
+                          # Jit-cache-key field, same rationale as `fused`.
     shadow_order: str = "light"  # anyhit sweep entry order
                                  # (ops/mega.entry_perm): "light" (default —
                                  # entries sorted by distance from the point
@@ -331,6 +337,7 @@ def _trace_sample_fused(
     sample_idx: jnp.ndarray,
     active0: jnp.ndarray,    # (P, K) initial lane mask
     group: int = 1,
+    rays6=None,              # pre-packed (6, P, 8, 128) rays (ops/raygen)
 ):
     """The bounce loop on the PACKED ABI with fused Pallas epilogues
     (``ops/epilogue.py``): the loop carries the sweeps' packed ray/state
@@ -361,7 +368,7 @@ def _trace_sample_fused(
     s_row = s[:, 0] if s.ndim == 2 else jnp.broadcast_to(s, (p,))
     decay_p = SAMPLE_DECAY ** s_row
 
-    rays = pack_rays(o, d)
+    rays = rays6 if rays6 is not None else pack_rays(o, d)
     win = jnp.where(active0, jnp.float32(RAY_TMAX), 0.0).reshape(
         p, K_SUB, K_LANE
     )
@@ -535,12 +542,13 @@ def _trace_sample(
     sample_idx: jnp.ndarray,
     active0: jnp.ndarray,    # (P, K) initial lane mask (padding excluded)
     group: int = 1,          # consensus group width (interleaved spp fold)
+    rays6=None,              # pre-packed (6, P, 8, 128) rays (ops/raygen)
 ):
     """One sample wave through the bounce loop → Vec3 color of (P, K)."""
     p, k = o[0].shape
     if _use_fused(static, rs, p, k):
         return _trace_sample_fused(scene, static, rs, o, d, sample_idx,
-                                   active0, group)
+                                   active0, group, rays6=rays6)
     amb = shade.ambient_tuple()
     tmp = tuple(jnp.full((p, k), c, jnp.float32) for c in amb)  # :81
     # 0.9^i quirk (:128); broadcast per-lane so compacted waves can slice it
@@ -845,20 +853,41 @@ def render_packets(
         s_idx = jnp.tile(
             jnp.arange(spp, dtype=jnp.float32), (p,)
         )[:, None] * jnp.ones((1, k), jnp.float32)
-        o, d = primary_rays_soa((pxs, pys), camera, s_idx, spp,
-                                rs.width, rs.height)
+        rays6 = None
+        if raygen.use_raygen_kernel(rs.raygen, pxs.shape[0], k):
+            # fused Pallas raygen: packed rays in one pass (ops/raygen.py);
+            # o/d views below are pure slices of the same buffer, so every
+            # consumer (either bounce body, any tier) sees identical values
+            s_row = jnp.tile(jnp.arange(spp, dtype=jnp.float32), (p,))
+            rays6 = raygen.raygen_packed(camera, s_row, pxs, pys, spp,
+                                         rs.width, rs.height)
+            pw = pxs.shape[0]
+            o = tuple(rays6[c].reshape(pw, k) for c in range(3))
+            d = tuple(rays6[3 + c].reshape(pw, k) for c in range(3))
+        else:
+            o, d = primary_rays_soa((pxs, pys), camera, s_idx, spp,
+                                    rs.width, rs.height)
         colors = _trace_sample(scene, static, rs, o, d, s_idx, act,
-                               group=rs.sample_group)
+                               group=rs.sample_group, rays6=rays6)
         return tuple(
             c.reshape(p, spp, k).mean(axis=1) for c in colors
         )  # :183
 
     def sample_body(i, accum):
-        o, d = primary_rays_soa(
-            (px, py), camera, i, spp, rs.width, rs.height
-        )
+        rays6 = None
+        if raygen.use_raygen_kernel(rs.raygen, p, k):
+            s_row = jnp.broadcast_to(i.astype(jnp.float32), (p,))
+            rays6 = raygen.raygen_packed(camera, s_row, px, py, spp,
+                                         rs.width, rs.height)
+            o = tuple(rays6[c].reshape(p, k) for c in range(3))
+            d = tuple(rays6[3 + c].reshape(p, k) for c in range(3))
+        else:
+            o, d = primary_rays_soa(
+                (px, py), camera, i, spp, rs.width, rs.height
+            )
         return v3.add(
-            accum, _trace_sample(scene, static, rs, o, d, i, active0)
+            accum,
+            _trace_sample(scene, static, rs, o, d, i, active0, rays6=rays6),
         )
 
     zero = jnp.zeros((p, k), jnp.float32)
