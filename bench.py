@@ -64,9 +64,16 @@ def main() -> int:
         tie_ok = r["tie_check"].get("ok", False) or "skipped" in r["tie_check"]
         return 0 if (ok and tie_ok) else 1
 
+    from raytpu.bench import build_preset_renderer, matrix_complete
+
     t0 = _time.perf_counter()
+    # renderer cache shared across the headline / matrix / stage phases:
+    # scene generation + BVH build + in-process jit caching happen once
+    # per preset instead of once per phase (round-4 budget lesson)
+    renderers = {}
+    renderers[preset] = build_preset_renderer(preset, depth)
     r = run_benchmark(preset=preset, frames=frames, highpoly_depth=depth,
-                      devices=devices)
+                      devices=devices, renderer=renderers[preset])
     out = {
         "metric": f"traced Mrays/s per chip ({preset}: {r['width']}x{r['height']}, "
                   f"{r['spp']}spp, {r['max_bounces']}-bounce, "
@@ -76,6 +83,8 @@ def main() -> int:
         "unit": "Mrays/s",
         "vs_baseline": round(r["mrays_per_s"] / NORTH_STAR_MRAYS, 4),
     }
+    if r.get("suspect"):
+        out["suspect"] = True
     if matrix:
         # the full BASELINE matrix including the reference 63-bounce default
         # preset runs BEFORE any budget-gated diagnostics, so the driver
@@ -89,13 +98,19 @@ def main() -> int:
         out["configs"] = run_matrix(
             presets=others, frames=max(2, frames // 2),
             highpoly_depth=depth, budget_s=max(0.0, left),
+            renderers=renderers,
         )
         out["configs"][preset] = {
             k: (round(v, 2) if isinstance(v, float) else v)
             for k, v in r.items()
             if k in ("width", "height", "spp", "max_bounces",
-                     "rays_per_frame", "frame_ms", "fps", "mrays_per_s")
+                     "rays_per_frame", "frame_ms", "fps", "mrays_per_s",
+                     "suspect", "suspect_pipelined_ms")
         }
+        # completeness assert (VERDICT r4 item 1iii): a starved or
+        # suspect-ridden matrix must say so in the artifact itself
+        if not matrix_complete(out["configs"], need=5):
+            out["artifact_incomplete"] = True
     # megakernel bit-identity gate (cheap low-res check; the validation-
     # layer analog) — recorded in the driver artifact every TPU bench
     if _time.perf_counter() - t0 < budget * 0.75:
@@ -127,13 +142,13 @@ def main() -> int:
     # with room to spare (VERDICT r3 item 3).
     if _time.perf_counter() - t0 < budget * 0.9:
         from raytpu.bench import profile_stages as _ps
-        from raytpu.presets import load_preset_scene as _lps
-        from raytpu.render import Renderer as _R
 
         try:
-            sc = _lps(preset, highpoly_depth=depth)
-            rr = _R(sc)
-            rr.set_transforms(0.0)
+            # reuses the headline renderer built above — stage profiling
+            # no longer re-generates the scene + BVH (round-4 budget
+            # lesson: every phase that rebuilds state is a phase that can
+            # starve the artifact)
+            rr = renderers[preset]
             out["stage_ms"] = {
                 k: round(v, 2)
                 for k, v in _ps(

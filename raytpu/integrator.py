@@ -168,7 +168,16 @@ class RenderStatic:
 
     @classmethod
     def from_config(cls, config: RenderConfig) -> "RenderStatic":
+        import os
+
+        # whole-process A/B override, resolved ONCE at construction so the
+        # traced gate (ops/raygen.use_raygen_kernel) stays a pure function
+        # of the jit cache key — a trace-time env read would silently alias
+        # cache entries compiled under a different env value (ADVICE r4)
+        rg = os.environ.get("RAYTPU_RAYGEN", "") or "auto"
+        rg = {"0": "off", "1": "auto"}.get(rg, rg)
         return cls(
+            raygen=rg,
             width=config.width,
             height=config.height,
             samples_per_pixel=config.samples_per_pixel,

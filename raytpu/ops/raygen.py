@@ -48,6 +48,24 @@ from raytpu.ops.traverse_pallas import K_LANE, K_SUB, PACKET_K
 # knob exists for same-shape A/B probes only.
 RG_BP = int(os.environ.get("RAYTPU_RG_BP", "8"))
 
+# Hard invariant, checked at import: RG_BP must DIVIDE the sweep kernels'
+# DMA-block granule (ops/mega.BLOCK_PACKETS). Every wave — including the
+# distributed path's local shards, which are padded to BLOCK_PACKETS
+# multiples (parallel/dist.py) — is a BLOCK_PACKETS multiple, so
+# RG_BP | BLOCK_PACKETS makes `p % RG_BP == 0` true for ALL waves and the
+# kernel gate backend-uniform. An RG_BP that violates this (e.g. the old
+# A/B value 16) would let a sharded wave silently fall back to the XLA
+# raygen while the single-device wave uses the kernel — bit-divergent
+# frames with no error (ADVICE r4).
+from raytpu.ops.mega import BLOCK_PACKETS  # noqa: E402
+
+if BLOCK_PACKETS % RG_BP != 0:
+    raise ValueError(
+        f"RAYTPU_RG_BP={RG_BP} must divide BLOCK_PACKETS={BLOCK_PACKETS}: "
+        "sharded waves are padded to BLOCK_PACKETS multiples and must take "
+        "the same raygen path as the single-device wave (bit-identity)"
+    )
+
 
 def _raygen_kernel(
     cam_ref,             # SMEM (13,): camera rows o/right/up/fwd + spp
@@ -96,14 +114,17 @@ def use_raygen_kernel(mode: str, p: int, k: int) -> bool:
     """Static gate: TPU backend (or ``mode="on"`` forcing interpret mode
     for the CPU semantics test), packed-ABI wave shape, and a block-
     aligned packet count. ``mode`` is ``RenderStatic.raygen`` — a real
-    jit-cache-key field so A/B legs can't alias (the ``fused`` precedent);
-    the RAYTPU_RAYGEN env var maps onto it for whole-process legs."""
-    mode = os.environ.get("RAYTPU_RAYGEN", "") or mode
-    mode = {"0": "off", "1": "auto"}.get(mode, mode)
+    jit-cache-key field so A/B legs can't alias (the ``fused`` precedent).
+    Pure function of its arguments: the RAYTPU_RAYGEN env override is
+    resolved ONCE into ``RenderStatic.raygen`` at construction
+    (``RenderStatic.from_config``), never re-read at trace time — a
+    trace-time read would alias jit cache entries compiled under a
+    different env value (ADVICE r4)."""
     if mode == "off":
         return False
     # every wave (including the distributed path's local shards, padded
-    # to BLOCK_PACKETS=8) divides the uniform RG_BP=8 block
+    # to BLOCK_PACKETS multiples) divides RG_BP: the import-time
+    # RG_BP | BLOCK_PACKETS invariant above
     if k != PACKET_K or p % RG_BP != 0:
         return False
     return mode == "on" or jax.default_backend() == "tpu"

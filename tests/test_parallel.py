@@ -164,6 +164,80 @@ def test_renderer_devices_config(small_scene):
     scene2.config = scene2.config.replace(devices=1)
 
 
+def test_sharded_raygen_bit_identity_on_tpu():
+    """TPU-gated (ADVICE r4): the sharded==single-device bit-identity
+    invariant with the fused Pallas raygen kernel ENGAGED. On the CPU
+    mesh 'auto' disables the kernel, so the other tests here only cover
+    the XLA raygen; this one runs the real kernel on the chip.
+
+    Two layers: (a) kernel-level — raygen_packed on a full wave vs the
+    same wave in BLOCK_PACKETS-sized slices (the sharded path's padded
+    local waves) must be BITWISE equal on TPU (one uniform RG_BP codegen
+    regardless of grid count — the ops/raygen.py invariant); (b) frame-
+    level — render_sharded over the available mesh vs render_frame,
+    bitwise (on the one-chip environment that is a 1-device mesh, which
+    still exercises dist.py's padding + per-shard raygen path)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("raygen kernel is TPU-only under 'auto'")
+    import os
+
+    import jax.numpy as jnp
+
+    from raytpu.io.image import load_skybox
+    from raytpu.ops import raygen
+    from raytpu.ops.mega import BLOCK_PACKETS
+    from raytpu.ops.traverse_pallas import PACKET_K
+
+    # (a) kernel-level wave-size bitwise independence on real hardware
+    k = PACKET_K
+    p = BLOCK_PACKETS * 4
+    rng = np.random.default_rng(11)
+    px = jnp.asarray(rng.integers(0, 640, size=(p, k)).astype(np.float32))
+    py = jnp.asarray(rng.integers(0, 480, size=(p, k)).astype(np.float32))
+    camera = jnp.asarray(
+        [[1.0, 2.0, 3.0], [0.8, 0.0, 0.6], [0.0, 1.0, 0.0],
+         [-0.6, 0.0, 0.8]], jnp.float32)
+    s_row = jnp.asarray(rng.integers(0, 4, size=(p,)).astype(np.float32))
+    full = np.asarray(raygen.raygen_packed(camera, s_row, px, py, 4, 640, 480))
+    bp = BLOCK_PACKETS
+    slices = [
+        np.asarray(raygen.raygen_packed(
+            camera, s_row[i:i + bp], px[i:i + bp], py[i:i + bp], 4, 640, 480))
+        for i in range(0, p, bp)
+    ]
+    np.testing.assert_array_equal(full, np.concatenate(slices, axis=1))
+
+    # (b) frame-level sharded-vs-single bitwise with the kernel engaged
+    res = "/root/reference/resources"
+    if not os.path.isdir(res):
+        pytest.skip("reference resources not mounted")
+    cfg = RenderConfig(
+        objects=(
+            ObjectConfig(f"{res}/teapot.obj", MaterialType.MIRROR, "spin"),
+        ),
+        width=256, height=192, samples_per_pixel=4, max_bounce_count=2,
+        skybox_dir=f"{res}/skybox_texture_sea",
+    )
+    meshes = [load_obj_numpy(o.path) for o in cfg.objects]
+    scene = load_scene(cfg, meshes=meshes, skybox=load_skybox(cfg.skybox_dir))
+    r = Renderer(scene)
+    r.set_transforms(0.5)
+    from raytpu.integrator import _tiled_pixels
+
+    (px_f, _), _, _ = _tiled_pixels(r.render_static)
+    assert raygen.use_raygen_kernel(
+        r.render_static.raygen,
+        px_f.shape[0] * r.render_static.samples_per_pixel, PACKET_K)
+    img_single = np.asarray(
+        render_frame(r.device_scene, r.static, r.render_static,
+                     jnp.asarray(r.camera.basis())))
+    mesh = make_mesh(len(jax.devices()))
+    img_sharded = np.asarray(
+        render_sharded(r.device_scene, r.static, r.render_static,
+                       r.camera.basis(), mesh))
+    np.testing.assert_array_equal(img_sharded, img_single)
+
+
 def test_sharded_bench_mode():
     """The multi-chip bench entry (`run_benchmark(devices=N)` behind
     `RAYTPU_BENCH_DEVICES`) runs on a CPU mesh: shards the frame over all

@@ -59,9 +59,11 @@ def test_raygen_kernel_matches_xla(spp):
     n2 = (got[3] ** 2 + got[4] ** 2 + got[5] ** 2).ravel()
     np.testing.assert_allclose(n2, 1.0, rtol=0, atol=1e-5)
     # directions: within one pixel's angular footprint of the XLA path
-    # (jitter is confined to its pixel; 800x600 at focal 2.5 → a pixel
-    # subtends ~|d|·2/600 ≈ 3.4e-3 in NDC before normalization)
-    np.testing.assert_allclose(got[3:], want[3:], rtol=0, atol=4e-3)
+    # (jitter is confined to its pixel: (py + rnd)/H with rnd ∈ [0,1), so
+    # the worst-case NDC drift is 2/height; a small margin covers the
+    # normalization's second-order effect). Derived from the frame height
+    # used, not hard-coded (ADVICE r4).
+    np.testing.assert_allclose(got[3:], want[3:], rtol=0, atol=2.5 / 600)
 
 
 def test_raygen_gate_shapes():
@@ -71,9 +73,13 @@ def test_raygen_gate_shapes():
     assert not raygen.use_raygen_kernel("on", raygen.RG_BP, 256)
     assert not raygen.use_raygen_kernel("off", raygen.RG_BP, PACKET_K)
     assert raygen.use_raygen_kernel("on", raygen.RG_BP, PACKET_K)
-    # odd BLOCK_PACKETS multiples (sharded spp=1 waves) are accepted via
-    # the 8-packet grid fallback
-    assert raygen.use_raygen_kernel("on", 8, PACKET_K)
+    # a single BLOCK_PACKETS-sized shard (the smallest padded sharded
+    # wave) is accepted because RG_BP divides BLOCK_PACKETS — the
+    # import-time invariant in ops/raygen.py
+    from raytpu.ops.mega import BLOCK_PACKETS
+
+    assert BLOCK_PACKETS % raygen.RG_BP == 0
+    assert raygen.use_raygen_kernel("on", BLOCK_PACKETS, PACKET_K)
 
 
 def test_raygen_wave_size_independence():
@@ -111,4 +117,7 @@ def test_raygen_wave_size_independence():
     ]
     cat = np.concatenate(halves, axis=1)
     np.testing.assert_array_equal(full[:3], cat[:3])      # origins exact
-    np.testing.assert_allclose(full[3:], cat[3:], rtol=0, atol=4e-3)
+    # tolerance derived from the frame height (drift bound ~2/height for
+    # a 480-high frame, plus normalization margin — ADVICE r4: the old
+    # hard-coded 4e-3 sat BELOW the test's own stated bound)
+    np.testing.assert_allclose(full[3:], cat[3:], rtol=0, atol=2.5 / 480)
