@@ -252,11 +252,12 @@ def attach_bvh(
     )
     if mega_layout is not None and _perlane_wanted(cfg, auto_tier):
         from raytpu.ops.perlane import (PAIR_DEFAULT, PAIR_QBITS,
-                                    pack_perlane_tables)
+                                    QUAD_DEFAULT, pack_perlane_tables)
 
         tabs, perlane_layout = pack_perlane_tables(
-            mega_chunks, normals=True, pair=PAIR_DEFAULT,
-            qbits=PAIR_QBITS)
+            mega_chunks, normals=True,
+            pair=PAIR_DEFAULT and not QUAD_DEFAULT,
+            qbits=PAIR_QBITS, quad=QUAD_DEFAULT)
         dev = dev._replace(
             pl_box=jnp.asarray(tabs["box"]),
             pl_tid=jnp.asarray(tabs["tid"]),
@@ -267,8 +268,9 @@ def attach_bvh(
         )
         if mega_shadow_layout is not None:
             sh_tabs, perlane_shadow_layout = pack_perlane_tables(
-                sh_chunks, normals=False, pair=PAIR_DEFAULT,
-                qbits=PAIR_QBITS,
+                sh_chunks, normals=False,
+                pair=PAIR_DEFAULT and not QUAD_DEFAULT,
+                qbits=PAIR_QBITS, quad=QUAD_DEFAULT,
             )
             dev = dev._replace(
                 pl_sh_box=jnp.asarray(sh_tabs["box"]),

@@ -108,6 +108,14 @@ class RenderStatic:
     sky_rebin: str = "auto"    # "auto" | "on" | "off" (see _use_sky_rebin)
     divergence: str = "off"  # see RenderConfig.divergence
     wavefront: str = "compact"  # see RenderConfig.wavefront
+    ladder: str = "auto"  # descending wave-budget ladder on the fused
+                          # compact path (_wave_rungs): "auto" = multi-
+                          # rung (phase-wise smaller waves as the live
+                          # prefix shrinks — the 63-bounce reference
+                          # preset's late iterations are nearly dead),
+                          # "off" = single fixed budget (the round-4
+                          # behavior). Jit-cache-key field so A/B legs
+                          # can't alias (the `fused` precedent).
     fused: str = "auto"  # fused Pallas bounce epilogue (ops/epilogue.py):
                          # "auto" = on-TPU, "on" = force (interpret mode
                          # off-TPU — the CPU semantics test), "off" = XLA
@@ -245,6 +253,37 @@ def _wave_budget(p: int) -> int:
             best = b
         b += SEG_PACKETS
     return best if best * 2 <= p else 0
+
+
+def _wave_rungs(p: int, budget: int, max_rungs: int = 3) -> list:
+    """Descending wave-budget ladder for the fused compact path (VERDICT
+    r4 item 6): the fixed ``budget`` (~P/4) still runs one budget-sized
+    wave per iteration when only a handful of packets are live — on the
+    reference preset's 63-bounce loop the late iterations are nearly-dead
+    waves paying a 512-packet sweep each. Liveness is MONOTONE under the
+    sort-once layout, so the loop can move PHASE-WISE to smaller wave
+    sizes as the live prefix shrinks (each rung is its own while loop —
+    no per-iteration lax.cond, whose buffer overhead was measured at
+    ~2 ms/iteration for the shadow skip). Every rung is a divisor of P
+    (disjoint exact tiling — the non-divisor clamped-tail double-bounce
+    hazard documented at ``body_compact``) and a SEG_PACKETS multiple
+    (sweep/epilogue granule); each rung is ≤ a quarter of the previous
+    so a phase transition always cuts the sweep width ≥4x."""
+    from raytpu.ops.mega import SEG_PACKETS
+
+    rungs = [budget]
+    while len(rungs) < max_rungs:
+        cap = rungs[-1] // 4
+        nxt = 0
+        b = SEG_PACKETS
+        while b <= cap:
+            if p % b == 0:
+                nxt = b
+            b += SEG_PACKETS
+        if not nxt:
+            break
+        rungs.append(nxt)
+    return rungs
 
 
 def hash_random(pix: jnp.ndarray, seed: jnp.ndarray) -> jnp.ndarray:
@@ -456,39 +495,66 @@ def _trace_sample_fused(
         decay_s = jnp.take(decay_p, order, axis=0)
         rows1 = jnp.arange(1, p + 1, dtype=jnp.int32)
 
-        def body_c(state):
-            j, rays, win, tmp, miss = state
+        def n_eff_of(win):
             live_row = jnp.any(win.reshape(p, -1) > 0.0, axis=1)
-            n_eff = jnp.max(jnp.where(live_row, rows1, 0))
-            n_waves = (n_eff + budget - 1) // budget
+            return jnp.max(jnp.where(live_row, rows1, 0))
 
-            def wave(c, planes):
+        def make_body(b):
+            """Bounce iteration over live-first waves of ``b`` rows
+            (``b`` divides p — disjoint, in-bounds slices)."""
+
+            def body_c(state):
+                j, rays, win, tmp, miss = state
+                n_waves = (n_eff_of(win) + b - 1) // b
+
+                def wave(c, planes):
+                    rays, win, tmp, miss = planes
+                    start = c * b
+
+                    def sl(x, axis):
+                        return jax.lax.dynamic_slice_in_dim(x, start, b,
+                                                            axis)
+
+                    r_w, w_w, t_w, m_w = step(
+                        sl(rays, 1), sl(win, 0), sl(tmp, 1), sl(miss, 0),
+                        sl(decay_s, 0),
+                    )
+                    upd = jax.lax.dynamic_update_slice_in_dim
+                    return (upd(rays, r_w, start, 1),
+                            upd(win, w_w, start, 0),
+                            upd(tmp, t_w, start, 1),
+                            upd(miss, m_w, start, 0))
+
+                planes = jax.lax.while_loop(
+                    lambda cp: cp[0] < n_waves,
+                    lambda cp: (cp[0] + 1, wave(cp[0], cp[1])),
+                    (jnp.int32(0), (rays, win, tmp, miss)),
+                )[1]
                 rays, win, tmp, miss = planes
-                start = c * budget      # budget | p: disjoint, in-bounds
+                return j + 1, rays, win, tmp, miss
 
-                def sl(x, axis):
-                    return jax.lax.dynamic_slice_in_dim(
-                        x, start, budget, axis)
+            return body_c
 
-                r_w, w_w, t_w, m_w = step(
-                    sl(rays, 1), sl(win, 0), sl(tmp, 1), sl(miss, 0),
-                    sl(decay_s, 0),
-                )
-                upd = jax.lax.dynamic_update_slice_in_dim
-                return (upd(rays, r_w, start, 1), upd(win, w_w, start, 0),
-                        upd(tmp, t_w, start, 1), upd(miss, m_w, start, 0))
+        # descending rung ladder (phase-split — liveness is monotone, so
+        # once the live prefix fits a smaller rung it fits it forever;
+        # each phase is its own while loop, no per-iteration cond)
+        rungs = (_wave_rungs(p, budget) if rs.ladder == "auto"
+                 else [budget])
+        state_l = (j0, rays, win, tmp, miss)
+        for i, b in enumerate(rungs):
+            nxt = rungs[i + 1] if i + 1 < len(rungs) else 0
 
-            planes = jax.lax.while_loop(
-                lambda cp: cp[0] < n_waves,
-                lambda cp: (cp[0] + 1, wave(cp[0], cp[1])),
-                (jnp.int32(0), (rays, win, tmp, miss)),
-            )[1]
-            rays, win, tmp, miss = planes
-            return j + 1, rays, win, tmp, miss
+            def cond_phase(state, nxt=nxt):
+                j, _, win, _, _ = state
+                n_eff = n_eff_of(win)
+                ok = (j <= rs.max_bounce_count) & (n_eff > 0)
+                if nxt:
+                    ok = ok & (n_eff > nxt)
+                return ok
 
-        _, rays, _, tmp, miss = jax.lax.while_loop(
-            cond, body_c, (j0, rays, win, tmp, miss)
-        )
+            state_l = jax.lax.while_loop(cond_phase, make_body(b),
+                                         state_l)
+        _, rays, _, tmp, miss = state_l
         rays = jnp.take(rays, inv, axis=1)
         tmp = jnp.take(tmp, inv, axis=1)
         miss = jnp.take(miss, inv, axis=0)

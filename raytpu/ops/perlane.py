@@ -145,6 +145,37 @@ PAIR_DEFAULT = os.environ.get("RAYTPU_PERLANE_PAIR", "1") != "0"
 # child-box quantization of the pair format: 16 (two words/axis) or 8
 # (both children in one word/axis: 4 gathers per step instead of 7)
 PAIR_QBITS = int(os.environ.get("RAYTPU_PERLANE_QBITS", "16"))
+
+# ---- quad-test walk (round-5 branching-factor probe, VERDICT r4 #4) ----
+# The pair step tests an entered node's TWO children; the quad step tests
+# FOUR (the node's grandchildren, with leaf children passed through), so
+# only alternate binary levels are ever entered: ~half the pair walk's
+# steps at ~2x the gathers per step (12 box + 2 link words vs 6 + 1) —
+# the branching-factor axis of the wide-BVH trade, swept on-chip.
+#
+# Layout (pair_bits token QUAD_BITS):
+# * planes (C, t_pad, 12, 8, 128): axis a, BUILD-order slot s at word
+#   4a+s — slot 0/1 = left child's expansion (its two children if it is
+#   interior, else itself + invalid), slot 2/3 = right child's. 16-bit
+#   q_hi<<16|q_lo words on the treelet grid (quantize_axis), absent
+#   slots FULL_SLAB (never consumed: masked by the valid bits).
+# * links (C*8, t_pad, 2, 8, 128): TWO words per (octant, node).
+#   word1: byte j = octant-ordered child local id (7b) | interior<<7.
+#   word2: pexit(0-6) | valid(7-10, per ordered position) |
+#   slotmap(11-18, 2b per ordered position = BUILD slot index) |
+#   cnt_self(19-22, the node's OWN triangle count — drains gather it
+#   from the queued child's word2).
+# * queue entries are PARENT-id | hit-leaf-mask<<7 (one push per step
+#   regardless of how many leaf children hit — queue pressure stays at
+#   the visit-walk level); drains unpack word1 and run the MT rows of
+#   each masked child.
+# Bit-identity: same argument as the pair walk (children tested at the
+# grandparent step with a then-current best_t that is never tighter than
+# at their own later step — the entered/enqueued sets are supersets of
+# the exact walk's, and extra Möller–Trumbore tests cannot win), so only
+# tie ORDER among exactly-coincident triangles can differ.
+QUAD_DEFAULT = os.environ.get("RAYTPU_PERLANE_QUAD", "0") == "1"
+QUAD_BITS = 416   # token: 4 children x 16-bit quantization
 # q_lo=65535, q_hi=0: an INVERTED interval. The kernel slab test min/maxes
 # the decoded plane pair, so this normalizes to the FULL treelet slab (an
 # always-hit word, NOT a miss) — it is safe as the leaf slot-B / padding
@@ -280,8 +311,117 @@ def pack_link_word(
     )
 
 
+def _fill_quad_treelet(planes, links, ci, t, rt, g, wlist, c, leaf, par,
+                       droot, succ):
+    """Quad-format planes + link words for ONE treelet (see the
+    QUAD_DEFAULT note for the layout). ``g``: global ids of the
+    treelet's members in ascending DFS order (= local-id order)."""
+    span = g.size
+    lf = leaf[g]                       # local leaf flags
+    mloc = c["miss"][g] - rt           # local skip target (may exit)
+    lidx = np.arange(span)
+    lc = lidx + 1                      # local left child (interiors)
+    rc = np.where(~lf, mloc[np.minimum(lc, span - 1)], 0)
+    dl = droot[g]
+    entered = (~lf & (dl % 2 == 0)) | (lf & (lidx == 0))
+    ex = lidx[entered]
+    if ex.size == 0:
+        return
+    if span == 1:
+        # single-leaf treelet root: one slot = itself
+        slots = np.zeros((1, 4), np.int64)
+        svalid = np.asarray([[1, 0, 0, 0]], np.int64)
+        iA = iB = np.zeros(1, bool)
+    else:
+        A = lc[ex]
+        B = rc[ex]
+        iA = ~lf[A]
+        iB = ~lf[B]
+        s0 = np.where(iA, A + 1, A)
+        s1 = np.where(iA, mloc[np.minimum(A + 1, span - 1)], 0)
+        s2 = np.where(iB, B + 1, B)
+        s3 = np.where(iB, mloc[np.minimum(B + 1, span - 1)], 0)
+        slots = np.stack([s0, s1, s2, s3], axis=1)
+        svalid = np.stack(
+            [np.ones(ex.size, np.int64), iA.astype(np.int64),
+             np.ones(ex.size, np.int64), iB.astype(np.int64)], axis=1)
+    vmask = svalid.astype(bool)
+    assert (slots[vmask] >= 0).all() and (slots[vmask] < span).all()
+    for a in range(3):
+        w = wlist[a]
+        for s in range(4):
+            val = vmask[:, s]
+            if val.any():
+                planes[ci, t, 4 * a + s, :, ex[val]] = (
+                    w[slots[val, s]][:, None])
+    cnt_all = np.where(lf, np.maximum(c["count"][g], 0), 0).astype(
+        np.int64)
+    assert cnt_all.max(initial=0) <= 15, "quad cnt field overflow"
+    sl_leaf = vmask & lf[np.minimum(slots, span - 1)]
+    sl_int = (vmask & ~sl_leaf).astype(np.int64)
+    w1_default = int(DONE | (DONE << 8) | (DONE << 16) | (DONE << 24))
+    for o in range(OCTANTS):
+        so = succ[o][g].astype(np.int64) - rt   # local near child
+        if span == 1:
+            perm = np.asarray([[0, 1, 2, 3]], np.int64)
+        else:
+            swap_top = so[ex] == rc[ex]
+            swapA = np.where(
+                iA, so[np.minimum(A, span - 1)]
+                == mloc[np.minimum(A + 1, span - 1)], False)
+            swapB = np.where(
+                iB, so[np.minimum(B, span - 1)]
+                == mloc[np.minimum(B + 1, span - 1)], False)
+            pa0 = np.where(swapA, 1, 0)
+            pa1 = np.where(swapA, 0, 1)
+            pb0 = np.where(swapB, 3, 2)
+            pb1 = np.where(swapB, 2, 3)
+            perm = np.where(
+                swap_top[:, None],
+                np.stack([pb0, pb1, pa0, pa1], axis=1),
+                np.stack([pa0, pa1, pb0, pb1], axis=1),
+            )
+        take = np.take_along_axis
+        oid = take(slots, perm, axis=1)         # octant-ordered child ids
+        oval = take(svalid, perm, axis=1)
+        oint = take(sl_int, perm, axis=1)
+        w1 = np.zeros(ex.size, np.int64)
+        for j in range(4):
+            idj = np.where(oval[:, j] == 1, oid[:, j], DONE)
+            w1 |= (idj | (oint[:, j] << 7)) << (8 * j)
+        # pexit: next octant-ordered INTERIOR sibling within the parent-
+        # entered node, else that parent's pexit; treelet root -> DONE.
+        parent_e = np.full(span, -1, np.int64)
+        nxt = np.full(span, -1, np.int64)
+        for row in range(ex.size):
+            ints = [j for j in range(4) if oint[row, j] == 1]
+            for a_i, j in enumerate(ints):
+                ch = oid[row, j]
+                parent_e[ch] = ex[row]
+                nxt[ch] = (oid[row, ints[a_i + 1]]
+                           if a_i + 1 < len(ints) else -1)
+        pex = np.full(span, DONE, np.int64)
+        for x in ex:                             # ascending: parents first
+            if parent_e[x] >= 0:
+                pex[x] = nxt[x] if nxt[x] >= 0 else pex[parent_e[x]]
+        vbits = ((oval[:, 0]) | (oval[:, 1] << 1) | (oval[:, 2] << 2)
+                 | (oval[:, 3] << 3))
+        smap = (perm[:, 0] | (perm[:, 1] << 2) | (perm[:, 2] << 4)
+                | (perm[:, 3] << 6))
+        w1_all = np.full(span, w1_default, np.int64)
+        w1_all[ex] = w1
+        w2_all = np.full(span, DONE, np.int64) | (cnt_all << 19)
+        w2_all[ex] = (pex[ex] | (vbits << 7) | (smap << 11)
+                      | (cnt_all[ex] << 19))
+        links[ci, o, t, 0, :, :span] = (
+            (w1_all & 0xFFFFFFFF).astype(np.uint32).view(np.int32)[None, :]
+        )
+        links[ci, o, t, 1, :, :span] = w2_all.astype(np.int32)[None, :]
+
+
 def pack_perlane_tables(
-    chunks, normals: bool = True, pair: bool = False, qbits: int = 16
+    chunks, normals: bool = True, pair: bool = False, qbits: int = 16,
+    quad: bool = False,
 ) -> Tuple[Dict[str, np.ndarray], Tuple[int, int, int, int, int, int, int]]:
     """Pack per-chunk two-level tables for the per-lane sweeps.
 
@@ -325,6 +465,7 @@ def pack_perlane_tables(
     kernels dispatch on layout[6] (``pair_bits``: 0 / 16 / 8).
     """
     assert qbits in (8, 16)
+    assert not (pair and quad)
     pad_nodes = max(c["aabb_min"].shape[0] for c in chunks)
     box_len = _align(6 * pad_nodes)
     tid_len = _align(pad_nodes + 1)
@@ -342,9 +483,13 @@ def pack_perlane_tables(
     box = np.zeros((cN, box_len), np.float32)
     tidm = np.full((cN, tid_len), -1, np.int32)
     qsc = np.zeros((cN, qsc_len), np.float32)
-    pw = 6 if (pair and qbits == 16) else 3
+    if quad:
+        pw = 12
+    else:
+        pw = 6 if (pair and qbits == 16) else 3
     planes = np.full((cN, t_pad, pw, 8, 128),
-                     int(FULL_SLAB_WORD) if (pair and qbits == 16) else 0,
+                     int(FULL_SLAB_WORD) if (quad or (pair and qbits == 16))
+                     else 0,
                      np.int32)
     # default link word: self-loop at DONE, never pushes, cnt=0
     default_word = (
@@ -352,7 +497,16 @@ def pack_perlane_tables(
         else int(pack_link_word(np.int32(DONE), np.int32(DONE),
                                 np.int32(0)))
     )
-    links = np.full((cN, OCTANTS, t_pad, 8, 128), default_word, np.int32)
+    if quad:
+        # word1: every position id=DONE int=0; word2: pexit=DONE,
+        # valid=0, slotmap=0, cnt=0
+        links = np.zeros((cN, OCTANTS, t_pad, 2, 8, 128), np.int32)
+        links[:, :, :, 0] = int(DONE | (DONE << 8) | (DONE << 16)
+                                | (DONE << 24))
+        links[:, :, :, 1] = DONE
+    else:
+        links = np.full((cN, OCTANTS, t_pad, 8, 128), default_word,
+                        np.int32)
     mt = np.zeros((cN, t_pad, rows_mt, 128), np.float32)
 
     for ci, c in enumerate(chunks):
@@ -381,12 +535,30 @@ def pack_perlane_tables(
         ll = ids[in_t] - root[tl]
         assert ll.max(initial=0) <= NODE_CAP - 1
         leaf = c["first"] >= 0
+        if quad:
+            # chunk-global structures the quad fill needs: octant near
+            # children, parent pointers, depth-within-treelet (DFS order
+            # guarantees parent < child, so one forward pass suffices)
+            succ_q, _ = octant_links(
+                c["aabb_min"], c["aabb_max"], c["first"], c["miss"]
+            )
+            par_q = np.full(n, -1, np.int64)
+            ii_q = ids[~leaf]
+            if ii_q.size:
+                par_q[ii_q + 1] = ii_q
+                par_q[c["miss"][ii_q + 1]] = ii_q
+            droot_q = np.zeros(n, np.int64)
+            for i in range(n):
+                p_ = par_q[i]
+                if p_ >= 0 and tid[p_] == tid[i]:
+                    droot_q[i] = droot_q[p_] + 1
         for t in range(nt):
             sel = tid == t
             rt = root[t]
             llt = ids[sel] - rt
             span = int(llt.size)
             g = ids[sel]
+            ws_q = []
             for a in range(3):
                 org = float(c["aabb_min"][rt, a])
                 ext = float(
@@ -399,7 +571,9 @@ def pack_perlane_tables(
                 w = ((q_hi.astype(np.int64) << 16)
                      | q_lo.astype(np.int64)).astype(np.uint32).view(
                          np.int32)
-                if pair:
+                if quad:
+                    ws_q.append(w)
+                elif pair:
                     # parent-indexed child slots, BUILD order; leaves get
                     # their own box in slot A (slot B is never consumed:
                     # leaf link words route the far side to DONE)
@@ -430,6 +604,9 @@ def pack_perlane_tables(
                     planes[ci, t, a, :, llt] = w[:, None]
                 qsc[ci, t * 8 + 2 * a] = np.float32(org)
                 qsc[ci, t * 8 + 2 * a + 1] = scale
+            if quad:
+                _fill_quad_treelet(planes, links, ci, t, rt, g, ws_q, c,
+                                   leaf, par_q, droot_q, succ_q)
 
         succ, skip = octant_links(
             c["aabb_min"], c["aabb_max"], c["first"], c["miss"]
@@ -444,7 +621,9 @@ def pack_perlane_tables(
             inside = (tgt < n) & (tid[tgt_c] == tl[None, :]) & (lo >= 0)
             return np.where(inside, lo, DONE)
 
-        if pair:
+        if quad:
+            pass      # quad links written per treelet (_fill_quad_treelet)
+        elif pair:
             cnt_self = np.maximum(c["count"][in_t], 0) * leaf[in_t]
             # cnt has 4 bits (23-26) before swap at bit 27: a leaf
             # count > 15 would silently corrupt swap. Bounded upstream by
@@ -539,11 +718,12 @@ def pack_perlane_tables(
         "tid": tidm.reshape(-1),
         "qsc": qsc.reshape(-1),
         "planes": planes,
-        "links": links.reshape(cN * OCTANTS, t_pad, 8, 128),
+        "links": (links.reshape(cN * OCTANTS, t_pad, 2, 8, 128) if quad
+                  else links.reshape(cN * OCTANTS, t_pad, 8, 128)),
         "mt": mt,
     }
     return arrays, (pad_nodes, t_pad, box_len, tid_len, rows_mt, qsc_len,
-                    qbits if pair else 0)
+                    QUAD_BITS if quad else (qbits if pair else 0))
 
 
 # ---------------------------------------------------------------------------
@@ -667,13 +847,15 @@ def _tl_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
     return lnode, qs, qc
 
 
-def _slab_slot(pln_ref, qs6, site, nd, slot, o, d_inv, tmin, tfar):
-    """Pair-format slab test against child slot 0/1 of node ``nd`` (the
-    box words are indexed by the PARENT id so the dependent chain stays
-    one gather deep; same dequantized-slab formula as :func:`_tl_slab`)."""
+def _slab_slot(pln_ref, qs6, site, nd, slot, o, d_inv, tmin, tfar,
+               width: int = 2):
+    """Pair/quad-format slab test against child slot ``slot`` of node
+    ``nd`` (the box words are indexed by the PARENT id so the dependent
+    chain stays one gather deep; same dequantized-slab formula as
+    :func:`_tl_slab`). ``width``: slots per axis (2 = pair, 4 = quad)."""
     tns, tfs = [], []
     for a in range(3):
-        w = _look(pln_ref[site, 2 * a + slot], nd)
+        w = _look(pln_ref[site, width * a + slot], nd)
         q_lo = (w & jnp.int32(0xFFFF)).astype(jnp.float32)
         q_hi = ((w >> 16) & jnp.int32(0xFFFF)).astype(jnp.float32)
         lo = qs6[2 * a] + q_lo * qs6[2 * a + 1]
@@ -754,6 +936,52 @@ def _pair_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
     return lnode, qs, qc
 
 
+def _quad_step(pln_ref, lnk_ref, qs6, site, lnode, bt, qs, qc, o, d_inv,
+               tmin, act):
+    """One quad-test step at an ENTERED node: test FOUR child slots
+    (the node's grandchildren, leaf children passed through — see the
+    QUAD_DEFAULT layout note), push ONE queue entry carrying the node id
+    plus the hit-LEAF-child mask, and descend to the first octant-ordered
+    hit interior child, else follow the exit chain. All selects are
+    int-mask logic (no boolean payloads — the Mosaic i1 legalization
+    trap documented at _pair_step)."""
+    w1 = _look(lnk_ref[site, 0], lnode)
+    w2 = _look(lnk_ref[site, 1], lnode)
+    pexit = w2 & jnp.int32(127)
+    valid = (w2 >> 7) & jnp.int32(15)
+    smap = (w2 >> 11) & jnp.int32(255)
+    one = jnp.int32(1)
+    zero = jnp.zeros_like(lnode)
+    # build-slot hits as 0/1 int planes (12 box gathers)
+    hs = []
+    for s in range(4):
+        b = _slab_slot(pln_ref, qs6, site, lnode, s, o, d_inv, tmin, bt,
+                       width=4)
+        hs.append(jnp.where(b, one, zero))
+    mask = zero
+    target = pexit
+    taken = zero
+    for j in range(4):
+        cj = (w1 >> (8 * j)) & jnp.int32(127)
+        ij = (w1 >> (8 * j + 7)) & one
+        vj = (valid >> j) & one
+        sj = (smap >> (2 * j)) & jnp.int32(3)
+        # ordered position j's slot hit, selected by the 2-bit slot map
+        bj = (jnp.where(sj == 0, hs[0], zero)
+              | jnp.where(sj == 1, hs[1], zero)
+              | jnp.where(sj == 2, hs[2], zero)
+              | jnp.where(sj == 3, hs[3], zero))
+        hit = bj & vj
+        mask = mask | ((hit & (one - ij)) << j)
+        goj = hit & ij & (one - taken)
+        target = jnp.where(goj != 0, cj, target)
+        taken = taken | goj
+    push = act & (mask != 0)
+    qs, qc = _queue_push(qs, qc, push, lnode | (mask << 7))
+    lnode = jnp.where(act, target, lnode)
+    return lnode, qs, qc
+
+
 # win_ref scratch plane layout: per-lane winner bookkeeping accumulated
 # across a treelet site's drains — the expensive normal interpolation +
 # state commit runs ONCE per improved site (at treelet exit), not once
@@ -780,11 +1008,18 @@ def _walk_closest_perlane(
     end = tidm[tid_len - 1]
     ns = len(pks)
     # pair_bits: 0 = visit-step walk, 16/8 = pair-test walk at that box
-    # quantization (see PAIR_DEFAULT)
-    pair = pair_bits > 0
-    step_fn = (functools.partial(_pair_step, bits=pair_bits) if pair
-               else _tl_step)
-    q_room = QD - 1 if pair else QD   # pair steps push up to 2 leaves
+    # quantization (see PAIR_DEFAULT), QUAD_BITS = quad-test walk
+    quad = pair_bits == QUAD_BITS
+    pair = pair_bits > 0 and not quad
+    if quad:
+        step_fn = _quad_step
+        q_room = QD            # quad steps push ONE masked parent entry
+    elif pair:
+        step_fn = functools.partial(_pair_step, bits=pair_bits)
+        q_room = QD - 1        # pair steps push up to 2 leaves
+    else:
+        step_fn = _tl_step
+        q_room = QD
     cshift = 23 if pair else 14       # cnt bits in the link word
 
     def o_of(i):
@@ -835,17 +1070,50 @@ def _walk_closest_perlane(
                 for j2 in range(1, QD):
                     qn = jnp.where(j == j2, qss[i][j2], qn)
                 occm = qcs[i] > j
-                cntq = (_look(lnk_ref[site], qn) >> cshift) & 15
-                for k in range(LEAF_UNROLL):
-                    t, u, v, hit = _mt_bank(mt_ref, site, k, qn, o, d,
-                                            tmin, bt)
-                    hit = hit & occm & (cntq > k)
-                    bt = jnp.where(hit, t, bt)
-                    ju = jnp.where(hit, u, ju)
-                    jv = jnp.where(hit, v, jv)
-                    win_q = jnp.where(hit, qn, win_q)
-                    win_k = jnp.where(hit, k, win_k)
-                    improved = improved | hit.astype(jnp.int32)
+                if quad:
+                    # queue entry = parent id | hit-leaf mask<<7: run the
+                    # MT rows of each masked child (ids from the parent's
+                    # word1, counts from the child's own word2); children
+                    # no lane needs are skipped whole (lax.cond)
+                    pid = qn & jnp.int32(127)
+                    qmask = (qn >> 7) & jnp.int32(15)
+                    w1p = _look(lnk_ref[site, 0], pid)
+                    carry = (bt, win_q, win_k, ju, jv, improved)
+                    for ci4 in range(4):
+                        cid = (w1p >> (8 * ci4)) & jnp.int32(127)
+                        okci = occm & (((qmask >> ci4) & 1) != 0)
+
+                        def do_child(carry, cid=cid, okci=okci, o=o, d=d):
+                            bt, win_q, win_k, ju, jv, improved = carry
+                            cntc = (_look(lnk_ref[site, 1], cid)
+                                    >> 19) & 15
+                            for k in range(LEAF_UNROLL):
+                                t, u, v, hit = _mt_bank(
+                                    mt_ref, site, k, cid, o, d, tmin, bt)
+                                hit = hit & okci & (cntc > k)
+                                bt = jnp.where(hit, t, bt)
+                                ju = jnp.where(hit, u, ju)
+                                jv = jnp.where(hit, v, jv)
+                                win_q = jnp.where(hit, cid, win_q)
+                                win_k = jnp.where(hit, k, win_k)
+                                improved = improved | hit.astype(jnp.int32)
+                            return (bt, win_q, win_k, ju, jv, improved)
+
+                        carry = jax.lax.cond(jnp.any(okci), do_child,
+                                             lambda c_: c_, carry)
+                    bt, win_q, win_k, ju, jv, improved = carry
+                else:
+                    cntq = (_look(lnk_ref[site], qn) >> cshift) & 15
+                    for k in range(LEAF_UNROLL):
+                        t, u, v, hit = _mt_bank(mt_ref, site, k, qn, o, d,
+                                                tmin, bt)
+                        hit = hit & occm & (cntq > k)
+                        bt = jnp.where(hit, t, bt)
+                        ju = jnp.where(hit, u, ju)
+                        jv = jnp.where(hit, v, jv)
+                        win_q = jnp.where(hit, qn, win_q)
+                        win_k = jnp.where(hit, k, win_k)
+                        improved = improved | hit.astype(jnp.int32)
                 out_b.append(bt)
                 out_a.append((win_q, win_k, ju, jv, improved))
             return j + 1, tuple(out_b), tuple(out_a)
@@ -1023,10 +1291,17 @@ def _walk_anyhit_perlane(
     """Two-level occlusion walk; returns the occlusion mask per slice."""
     end = tidm[tid_len - 1]
     ns = len(pks)
-    pair = pair_bits > 0
-    step_fn = (functools.partial(_pair_step, bits=pair_bits) if pair
-               else _tl_step)
-    q_room = QD - 1 if pair else QD
+    quad = pair_bits == QUAD_BITS
+    pair = pair_bits > 0 and not quad
+    if quad:
+        step_fn = _quad_step
+        q_room = QD
+    elif pair:
+        step_fn = functools.partial(_pair_step, bits=pair_bits)
+        q_room = QD - 1
+    else:
+        step_fn = _tl_step
+        q_room = QD
     cshift = 23 if pair else 14
     live0s = [t > tmin for t in tmaxs]
 
@@ -1070,12 +1345,36 @@ def _walk_anyhit_perlane(
                 for j2 in range(1, QD):
                     qn = jnp.where(j == j2, qss[i][j2], qn)
                 occm = qcs[i] > j
-                cntq = (_look(lnk_ref[site], qn) >> cshift) & 15
-                for k in range(LEAF_UNROLL):
-                    _, _, _, hit = _mt_bank(mt_ref, site, k, qn, o, d,
-                                            tmin, wns[i])
-                    occ = occ | (hit & occm
-                                 & (cntq > k)).astype(jnp.int32)
+                if quad:
+                    pid = qn & jnp.int32(127)
+                    qmask = (qn >> 7) & jnp.int32(15)
+                    w1p = _look(lnk_ref[site, 0], pid)
+                    for ci4 in range(4):
+                        cid = (w1p >> (8 * ci4)) & jnp.int32(127)
+                        okci = occm & (((qmask >> ci4) & 1) != 0)
+
+                        def do_child(occ, cid=cid, okci=okci, o=o, d=d,
+                                     i=i):
+                            cntc = (_look(lnk_ref[site, 1], cid)
+                                    >> 19) & 15
+                            for k in range(LEAF_UNROLL):
+                                _, _, _, hit = _mt_bank(
+                                    mt_ref, site, k, cid, o, d, tmin,
+                                    wns[i])
+                                occ = occ | (hit & okci
+                                             & (cntc > k)).astype(
+                                                 jnp.int32)
+                            return occ
+
+                        occ = jax.lax.cond(jnp.any(okci), do_child,
+                                           lambda x: x, occ)
+                else:
+                    cntq = (_look(lnk_ref[site], qn) >> cshift) & 15
+                    for k in range(LEAF_UNROLL):
+                        _, _, _, hit = _mt_bank(mt_ref, site, k, qn, o, d,
+                                                tmin, wns[i])
+                        occ = occ | (hit & occm
+                                     & (cntq > k)).astype(jnp.int32)
                 out.append(occ)
             return j + 1, tuple(out)
 
@@ -1349,7 +1648,9 @@ def perlane_closest_sweep(
     w2o = scene.w2o[instid].reshape(e_n, 12)
     matid = scene.materials[instid].astype(jnp.int32)
 
-    pw = scene.pl_planes.shape[2]   # 3 (visit-step/pair8) or 6 (pair16)
+    pw = scene.pl_planes.shape[2]   # 3 (visit/pair8), 6 (pair16), 12 (quad)
+    lnk_shape = ((t_pad, 2, K_SUB, K_LANE) if pair_bits == QUAD_BITS
+                 else (t_pad, K_SUB, K_LANE))
     kernel = functools.partial(
         _perlane_closest_kernel,
         tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
@@ -1383,7 +1684,7 @@ def perlane_closest_sweep(
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((t_pad, pw, K_SUB, K_LANE), jnp.int32),
-            pltpu.VMEM((t_pad, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM(lnk_shape, jnp.int32),
             pltpu.VMEM((t_pad, rows_mt, K_LANE), jnp.float32),
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, 9, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
@@ -1592,7 +1893,9 @@ def perlane_anyhit_sweep(
     instid = jnp.take(instid, perm)
     w2o = scene.w2o[instid].reshape(e_n, 12)
 
-    pw = tabs[4].shape[2]   # planes words: 3 (visit-step/pair8) or 6
+    pw = tabs[4].shape[2]   # planes words: 3 (visit/pair8), 6, 12 (quad)
+    lnk_shape = ((t_pad, 2, K_SUB, K_LANE) if pair_bits == QUAD_BITS
+                 else (t_pad, K_SUB, K_LANE))
     kernel = functools.partial(
         _perlane_anyhit_kernel,
         tmin=float(tmin), pn=pn, box_len=box_len, tid_len=tid_len,
@@ -1625,7 +1928,7 @@ def perlane_anyhit_sweep(
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((t_pad, pw, K_SUB, K_LANE), jnp.int32),
-            pltpu.VMEM((t_pad, K_SUB, K_LANE), jnp.int32),
+            pltpu.VMEM(lnk_shape, jnp.int32),
             pltpu.VMEM((t_pad, rows_mt, K_LANE), jnp.float32),
             pltpu.VMEM((2, 6, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),
             pltpu.VMEM((2, BLOCK_PACKETS, K_SUB, K_LANE), jnp.float32),

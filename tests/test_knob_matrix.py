@@ -27,6 +27,11 @@ from raytpu import MaterialType, ObjectConfig, RenderConfig, load_scene
 from raytpu.integrator import render_frame
 from raytpu.render import Renderer
 
+# each knob combination is its own jit executable (~25-90 s CPU compile):
+# the file dominates the full suite's runtime, so it lives in the slow
+# tier — `pytest -m "not slow"` skips it (documented in CLAUDE.md)
+pytestmark = pytest.mark.slow
+
 RES = "/root/reference/resources"
 
 

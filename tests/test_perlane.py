@@ -343,3 +343,186 @@ def test_auto_tier_measured_table():
     assert resolve_auto_tier(6_320, 4, 2) == "mega"        # config2
     assert resolve_auto_tier(36, 4, 3) == "mega"           # config3
     assert resolve_auto_tier(12, 1, 0) == "mega"           # config1
+
+
+# ---------------------------------------------------------------------------
+# quad-test format (round-5 branching-factor probe)
+# ---------------------------------------------------------------------------
+
+
+def _mt_np(v0, e1, e2, o, d, tmin, tmax):
+    """Möller–Trumbore in float32 numpy — same formula as the kernels'
+    _mt_tab/_mt_bank (and the sim below), vectorized over triangles."""
+    f = np.float32
+    px = d[1] * e2[:, 2] - d[2] * e2[:, 1]
+    py = d[2] * e2[:, 0] - d[0] * e2[:, 2]
+    pz = d[0] * e2[:, 1] - d[1] * e2[:, 0]
+    det = e1[:, 0] * px + e1[:, 1] * py + e1[:, 2] * pz
+    inv_det = np.where(np.abs(det) > f(1e-9), f(1.0) / det, f(0.0))
+    tvx, tvy, tvz = o[0] - v0[:, 0], o[1] - v0[:, 1], o[2] - v0[:, 2]
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    qx = tvy * e1[:, 2] - tvz * e1[:, 1]
+    qy = tvz * e1[:, 0] - tvx * e1[:, 2]
+    qz = tvx * e1[:, 1] - tvy * e1[:, 0]
+    v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+    t = (e2[:, 0] * qx + e2[:, 1] * qy + e2[:, 2] * qz) * inv_det
+    hit = ((np.abs(det) > f(1e-9)) & (u >= 0) & (v >= 0) & (u + v <= 1)
+           & (t > tmin) & (t < tmax))
+    return t, hit
+
+
+def _sim_quad_walk(chunk, arrays, lay, o, d, tmin, tmax):
+    """Host replay of the packed quad walk (top tree + quad steps +
+    masked-parent drains) straight off the packed arrays — validates
+    every field of the format against brute force."""
+    from raytpu.ops.perlane import QUAD_BITS
+
+    pn, t_pad, box_len, tid_len, rows_mt, qsc_len, pb = lay
+    assert pb == QUAD_BITS
+    f = np.float32
+    box = arrays["box"]
+    tidm = arrays["tid"]
+    qsc = arrays["qsc"]
+    planes = arrays["planes"][0]        # (t_pad, 12, 8, 128)
+    links = arrays["links"]             # (8, t_pad, 2, 8, 128)
+    mt = arrays["mt"][0]
+    n = int(tidm[tid_len - 1])
+    succ, skip = octant_links(chunk["aabb_min"], chunk["aabb_max"],
+                              chunk["first"], chunk["miss"])
+    oc = int((d[0] < 0) | ((d[1] < 0) << 1) | ((d[2] < 0) << 2))
+    d_inv = np.where(d != 0, f(1.0) / d,
+                     np.where(d >= 0, np.float32(np.inf),
+                              np.float32(-np.inf))).astype(f)
+    best = f(tmax)
+
+    def deq(t, a, w):
+        u = np.int64(w) & 0xFFFFFFFF
+        org = qsc[t * 8 + 2 * a]
+        sc = qsc[t * 8 + 2 * a + 1]
+        return (f(org + f(u & 0xFFFF) * sc),
+                f(org + f((u >> 16) & 0xFFFF) * sc))
+
+    def mt_slot(site, k, cid, tfar):
+        v0 = np.asarray([mt[site, k * 9 + a, cid] for a in range(3)], f)
+        e1 = np.asarray([mt[site, k * 9 + 3 + a, cid] for a in range(3)], f)
+        e2 = np.asarray([mt[site, k * 9 + 6 + a, cid] for a in range(3)], f)
+        t, hit = _mt_np(v0[None, :], e1[None, :], e2[None, :], o, d,
+                        tmin, tfar)
+        return (f(t[0]), bool(hit[0]))
+
+    def qslab(site, sj, lnode, tfar):
+        """Quantized slab test of build slot sj at parent lnode — the
+        kernel's _slab_slot(width=4) semantics."""
+        tns, tfs = [], []
+        for a in range(3):
+            lo, hi = deq(site, a, planes[site, 4 * a + sj, 0, lnode])
+            t0 = (lo - o[a]) * d_inv[a]
+            t1 = (hi - o[a]) * d_inv[a]
+            tns.append(min(t0, t1))
+            tfs.append(max(t0, t1))
+        return max(max(tns), tmin) <= min(min(tfs), tfar)
+
+    def treelet_walk(site):
+        nonlocal best
+        lnode = 0
+        queue = []
+        steps = 0
+        while lnode != DONE or queue:
+            steps += 1
+            assert steps < 10_000, "quad walk does not terminate"
+            if lnode != DONE:
+                w1 = int(links[oc, site, 0, 0, lnode]) & 0xFFFFFFFF
+                w2 = int(links[oc, site, 1, 0, lnode])
+                pexit = w2 & 127
+                valid = (w2 >> 7) & 15
+                smap = (w2 >> 11) & 255
+                target = pexit
+                taken = False
+                mask = 0
+                for j in range(4):
+                    cj = (w1 >> (8 * j)) & 127
+                    ij = (w1 >> (8 * j + 7)) & 1
+                    if not ((valid >> j) & 1):
+                        continue
+                    sj = (smap >> (2 * j)) & 3
+                    if not qslab(site, sj, lnode, best):
+                        continue
+                    if ij:
+                        if not taken:
+                            target = cj
+                            taken = True
+                    else:
+                        mask |= 1 << j
+                if mask:
+                    queue.append((lnode, mask))
+                lnode = target
+            else:
+                pid, mask = queue.pop(0)
+                w1 = int(links[oc, site, 0, 0, pid]) & 0xFFFFFFFF
+                for ci in range(4):
+                    if not ((mask >> ci) & 1):
+                        continue
+                    cid = (w1 >> (8 * ci)) & 127
+                    cnt = (int(links[oc, site, 1, 0, cid]) >> 19) & 15
+                    assert cnt > 0, "masked child with zero count"
+                    for k in range(cnt):
+                        t, hit = mt_slot(site, k, cid, best)
+                        if hit:
+                            best = t
+
+    # top-tree walk (consensus analog, one lane): SMEM box planes + the
+    # mega octant links (recomputed here — the kernel DMAs scene.mega_oct)
+    tnode = 0
+    while tnode != n:
+        site = int(tidm[tnode])
+        tns, tfs = [], []
+        for a in range(3):
+            lo = box[a * pn + tnode]
+            hi = box[(3 + a) * pn + tnode]
+            t0 = (lo - o[a]) * d_inv[a]
+            t1 = (hi - o[a]) * d_inv[a]
+            tns.append(min(t0, t1))
+            tfs.append(max(t0, t1))
+        bhit = max(max(tns), tmin) <= min(min(tfs), best)
+        if site >= 0:
+            if bhit:
+                treelet_walk(site)
+            tnode = int(skip[oc, tnode])
+        else:
+            tnode = int(succ[oc, tnode]) if bhit else int(skip[oc, tnode])
+    return best
+
+
+def test_packed_tables_quad(chunk):
+    """Quad format (``quad=True``): host replay of the packed quad walk
+    (word fields, slot map, per-octant order, pexit chains, masked-parent
+    drains) must find the SAME closest hit as brute force over all
+    triangles, for random rays in every direction octant."""
+    from raytpu.ops.perlane import QUAD_BITS
+
+    arrays, lay = pack_perlane_tables([chunk], normals=True, quad=True)
+    assert lay[6] == QUAD_BITS
+    assert arrays["planes"].shape[2] == 12
+    assert arrays["links"].shape[2:] == (2, 8, 128)
+
+    rng = np.random.RandomState(5)
+    tmin, tmax = np.float32(1e-3), np.float32(1e30)
+    n_hits = 0
+    for i in range(160):
+        o = (rng.randn(3) * 2.5).astype(np.float32)
+        if i % 2 == 0:
+            # aim at a random triangle's centroid so most rays HIT
+            ti = rng.randint(chunk["v0"].shape[0])
+            c = (chunk["v0"][ti] + chunk["e1"][ti] / 3
+                 + chunk["e2"][ti] / 3)
+            d = (c - o).astype(np.float32)
+        else:
+            d = rng.randn(3).astype(np.float32)
+        d = (d / np.linalg.norm(d)).astype(np.float32)
+        t_brute, hit = _mt_np(chunk["v0"], chunk["e1"], chunk["e2"],
+                              o, d, tmin, tmax)
+        ref = float(t_brute[hit].min()) if hit.any() else float(tmax)
+        got = float(_sim_quad_walk(chunk, arrays, lay, o, d, tmin, tmax))
+        assert got == ref, (i, got, ref)
+        n_hits += int(hit.any())
+    assert n_hits > 40  # the rays actually exercise the geometry
