@@ -106,8 +106,12 @@ from raytpu.ops.traverse_pallas import (
 NODE_CAP = 127
 DONE = 127
 
-# deferred-leaf register queue depth per lane
-QD = 4
+# deferred-leaf register queue depth per lane. Env-tunable for on-chip
+# sweeps (round 5): deeper queues mean fewer drain phases / fewer
+# full-queue stalls per treelet at the price of QD extra loop-carried
+# vregs per walk slice — the register-spill hazard that killed the first
+# per-lane kernel cut (docs/roadmap.md round-3b lesson a) bounds it.
+QD = int(os.environ.get("RAYTPU_QD", "4"))
 
 # ---- pair-test walk (the default treelet walk since round 3f) ----
 # The original treelet step costs one gather round per VISITED node
