@@ -1210,7 +1210,7 @@ def _walk_closest_perlane(
             jnp.where(enter4[i], jnp.int32(0), DONE) for i in range(ns)
         )
         z = jnp.zeros(lnodes[0].shape, jnp.int32)
-        qss = tuple((z, z, z, z) for _ in range(ns))
+        qss = tuple(tuple(z for _ in range(QD)) for _ in range(ns))
         qcs = tuple(z for _ in range(ns))
 
         def phase_cond(c):
@@ -1392,7 +1392,7 @@ def _walk_anyhit_perlane(
             jnp.where(enter4[i], jnp.int32(0), DONE) for i in range(ns)
         )
         z = jnp.zeros(lnodes[0].shape, jnp.int32)
-        qss = tuple((z, z, z, z) for _ in range(ns))
+        qss = tuple(tuple(z for _ in range(QD)) for _ in range(ns))
         qcs = tuple(z for _ in range(ns))
 
         def phase_cond(c):
