@@ -106,12 +106,15 @@ from raytpu.ops.traverse_pallas import (
 NODE_CAP = 127
 DONE = 127
 
-# deferred-leaf register queue depth per lane. Env-tunable for on-chip
-# sweeps (round 5): deeper queues mean fewer drain phases / fewer
-# full-queue stalls per treelet at the price of QD extra loop-carried
-# vregs per walk slice — the register-spill hazard that killed the first
-# per-lane kernel cut (docs/roadmap.md round-3b lesson a) bounds it.
-QD = int(os.environ.get("RAYTPU_QD", "4"))
+# deferred-leaf register queue depth per lane. Env-tunable; deeper
+# queues mean fewer drain phases / fewer full-queue stalls per treelet
+# at the price of QD extra loop-carried vregs per walk slice — the
+# register-spill hazard that killed the first per-lane kernel cut
+# (docs/roadmap.md round-3b lesson a) bounds it. Round-5 sweep (one
+# process per leg, tools/r14_qd_leg.py): config4 78.8 / 76.8 / 76.6 /
+# 78.1 ms at QD 4 / 6 / 8 / 12 — monotone to 8, spills past it; 8 also
+# wins reference (40.4 -> 39.5). Default 8.
+QD = int(os.environ.get("RAYTPU_QD", "8"))
 
 # ---- pair-test walk (the default treelet walk since round 3f) ----
 # The original treelet step costs one gather round per VISITED node
