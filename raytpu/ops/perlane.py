@@ -191,15 +191,17 @@ QUAD_BITS = 416   # token: 4 children x 16-bit quantization
 FULL_SLAB_WORD = np.int32(0x0000FFFF)
 
 # packets per per-lane walk: 4 slices of (8,128) interleave the dependent
-# gather chain (measured: 4 slices cost the same per iteration as 1)
-W_PK = 4
+# gather chain (measured: 4 slices cost the same per iteration as 1).
+# Env-tunable for re-sweeps when neighboring knobs move (r3e sweep: 2 and
+# 8 both lost at the then-defaults; re-checked at QD=8 in round 5).
+W_PK = int(os.environ.get("RAYTPU_W_PK", "4"))
 
 # scheduling of full leaf queues inside a treelet walk (A/B knob):
 # True  — a lane with a full queue STALLS while others walk on; drains
 #         happen when no lane can advance (1 reduction per step)
 # False — the walk pauses and drains when ANY lane's queue fills
 #         (2 reductions per step, lanes never idle-stall)
-STALL_SCHED = True
+STALL_SCHED = os.environ.get("RAYTPU_STALL_SCHED", "1") != "0"
 
 # compact MT-table rows: LEAF_UNROLL slots x 9 tri coords (+ as many
 # normal coords for the closest set), padded to a sublane multiple
