@@ -195,6 +195,77 @@ def octant_links(
     return succ.astype(np.int32), skip.astype(np.int32)
 
 
+def widen_octant_links(
+    succ: np.ndarray, skip: np.ndarray,
+    first: np.ndarray, miss: np.ndarray,
+    keep_extra: np.ndarray = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Wide-node rethreading of the consensus walk (round-5 probe,
+    VERDICT r4 item 4 applied to the walk the item literally names):
+    drop every ODD-depth interior from the per-octant threading, so a
+    hit at a retained interior descends directly to its grandchild
+    level — the stackless equivalent of a BVH4's 4-wide node, at
+    UNCHANGED per-visit cost (the kernel is untouched; only the link
+    tables change). Hit-corridor walks visit ~2/3 the nodes; miss-heavy
+    regions lose the middle level's cull and test both its children
+    instead. Correctness: every LEAF keeps its own box test, so the
+    Möller–Trumbore candidate set only grows by candidates an ancestor
+    test would have culled — supersets under strict-< merging find the
+    same minimum (the ops/perlane.py pair-walk argument); only exact-tie
+    order can differ.
+
+    ``keep_extra``: node mask that must stay threaded regardless of
+    depth — the per-lane tier's treelet ROOTS (its top walk shares these
+    tables and must still visit every site).
+
+    Returns widened (succ, skip); non-retained nodes keep terminator
+    links (they are unreachable)."""
+    n = first.shape[0]
+    leaf = first >= 0
+    par = np.full(n, -1, np.int64)
+    ii = np.flatnonzero(~leaf)
+    if ii.size:
+        par[ii + 1] = ii
+        par[np.minimum(miss[ii + 1], n - 1)] = ii
+    depth = np.zeros(n, np.int64)
+    for i in range(1, n):
+        if par[i] >= 0:
+            depth[i] = depth[par[i]] + 1
+    retained = leaf | (depth % 2 == 0)
+    if keep_extra is not None:
+        retained |= keep_extra
+    pref = np.concatenate([[0], np.cumsum(retained)])
+    out_succ = np.full_like(succ, n)
+    out_skip = np.full_like(skip, n)
+    for o in range(OCTANTS):
+        # octant preorder = the always-hit walk (succ on interior, skip
+        # on leaf) — visits every node exactly once (pinned by
+        # tests/test_mega.py)
+        order = np.empty(n, np.int64)
+        x = 0
+        for k in range(n):
+            order[k] = x
+            x = skip[o, x] if leaf[x] else succ[o, x]
+        assert x == n
+        filt = order[retained[order]]
+        pos_in_subtree_cnt = pref[miss[filt]] - pref[filt]
+        nxt = np.append(filt[1:], n)
+        for idx in range(filt.size):
+            v = filt[idx]
+            j = idx + pos_in_subtree_cnt[idx]
+            tgt_skip = filt[j] if j < filt.size else n
+            out_skip[o, v] = tgt_skip
+            # interior subtrees always contain retained leaves, so the
+            # next preorder-retained node is inside the subtree
+            out_succ[o, v] = tgt_skip if leaf[v] else nxt[idx]
+    return out_succ.astype(np.int32), out_skip.astype(np.int32)
+
+
+# wide-node consensus threading (see widen_octant_links) — experiment
+# knob, one process per leg
+MEGA_WIDE = __import__("os").environ.get("RAYTPU_MEGA_WIDE", "0") == "1"
+
+
 def pack_mega_tables(chunks, normals: bool = True) -> Tuple[
         np.ndarray, np.ndarray, np.ndarray, np.ndarray, Tuple[int, int]]:
     """Pack per-chunk BVH tables into flat DMA-able arrays.
@@ -220,6 +291,19 @@ def pack_mega_tables(chunks, normals: bool = True) -> Tuple[
         succ, skip = octant_links(
             c["aabb_min"], c["aabb_max"], c["first"], c["miss"]
         )
+        if MEGA_WIDE:
+            # treelet roots must stay threaded: the per-lane tier's top
+            # walk shares this table and enters treelets at their roots
+            from raytpu.ops.perlane import treelet_partition
+
+            tid, nt = treelet_partition(c["first"], c["count"], c["miss"])
+            ids = np.arange(n)
+            first_of = np.ones(n, bool)
+            first_of[1:] = tid[1:] != tid[:-1]
+            sites = (tid < nt) & first_of
+            succ, skip = widen_octant_links(
+                succ, skip, c["first"], c["miss"], keep_extra=sites
+            )
         oct_t[ci, :, :n] = succ
         oct_t[ci, :, lay.pad_nodes : lay.pad_nodes + n] = skip
         for a in range(3):

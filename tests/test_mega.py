@@ -329,3 +329,111 @@ def test_mega_bit_identity():
 
     r = bit_identity_check()
     assert r.get("ok", False), r
+
+
+def test_widened_octant_links():
+    """Wide-node consensus rethreading (round-5 probe,
+    mega.widen_octant_links): dropping odd-depth interiors from the
+    per-octant threading must (a) enumerate exactly the retained set in
+    the always-hit walk, and (b) find the same closest hit as brute
+    force when walked with real slab tests — the same superset-of-
+    winnable-candidates argument as the treelet pair/quad walks."""
+    import numpy as np
+
+    from raytpu.accel.bvh import build_bvh
+    from raytpu.ops.mega import octant_links, widen_octant_links
+
+    rng = np.random.RandomState(3)
+    n_tris = 500
+    v0 = rng.randn(n_tris, 3).astype(np.float32)
+    e1 = (rng.randn(n_tris, 3) * 0.15).astype(np.float32)
+    e2 = (rng.randn(n_tris, 3) * 0.15).astype(np.float32)
+    bvh = build_bvh(v0, e1, e2, leaf_size=4)
+    order = bvh.tri_order.astype(np.int64)
+    tv0, te1, te2 = v0[order], e1[order], e2[order]
+    first, count, miss = bvh.tri_first, bvh.tri_count, bvh.miss
+    lo, hi = bvh.aabb_min, bvh.aabb_max
+    n = first.shape[0]
+    leaf = first >= 0
+
+    succ, skip = octant_links(lo, hi, first, miss)
+    wsucc, wskip = widen_octant_links(succ, skip, first, miss)
+
+    # retained set: leaves + even-depth interiors
+    par = np.full(n, -1, np.int64)
+    ii = np.flatnonzero(~leaf)
+    par[ii + 1] = ii
+    par[np.minimum(miss[ii + 1], n - 1)] = ii
+    depth = np.zeros(n, np.int64)
+    for i in range(1, n):
+        if par[i] >= 0:
+            depth[i] = depth[par[i]] + 1
+    retained = leaf | (depth % 2 == 0)
+
+    f = np.float32
+    for o in range(8):
+        # (a) always-hit walk visits exactly the retained nodes, once
+        seen = []
+        x = 0
+        for _ in range(n + 1):
+            if x == n:
+                break
+            seen.append(x)
+            x = wskip[o, x] if leaf[x] else wsucc[o, x]
+        assert x == n
+        assert sorted(seen) == sorted(np.flatnonzero(retained).tolist())
+
+    def mt_all(o_r, d_r, tmin, tmax, sel):
+        px = d_r[1] * te2[sel, 2] - d_r[2] * te2[sel, 1]
+        py = d_r[2] * te2[sel, 0] - d_r[0] * te2[sel, 2]
+        pz = d_r[0] * te2[sel, 1] - d_r[1] * te2[sel, 0]
+        det = te1[sel, 0] * px + te1[sel, 1] * py + te1[sel, 2] * pz
+        inv = np.where(np.abs(det) > f(1e-9), f(1.0) / det, f(0.0))
+        tvx = o_r[0] - tv0[sel, 0]
+        tvy = o_r[1] - tv0[sel, 1]
+        tvz = o_r[2] - tv0[sel, 2]
+        u = (tvx * px + tvy * py + tvz * pz) * inv
+        qx = tvy * te1[sel, 2] - tvz * te1[sel, 1]
+        qy = tvz * te1[sel, 0] - tvx * te1[sel, 2]
+        qz = tvx * te1[sel, 1] - tvy * te1[sel, 0]
+        v = (d_r[0] * qx + d_r[1] * qy + d_r[2] * qz) * inv
+        t = (te2[sel, 0] * qx + te2[sel, 1] * qy + te2[sel, 2] * qz) * inv
+        hit = ((np.abs(det) > f(1e-9)) & (u >= 0) & (v >= 0)
+               & (u + v <= 1) & (t > tmin) & (t < tmax))
+        return t, hit
+
+    tmin, tmax = f(1e-3), f(1e30)
+    hits = 0
+    for i in range(120):
+        o_r = (rng.randn(3) * 2).astype(f)
+        if i % 2 == 0:
+            ti = rng.randint(n_tris)
+            d_r = (tv0[ti] + te1[ti] / 3 + te2[ti] / 3 - o_r).astype(f)
+        else:
+            d_r = rng.randn(3).astype(f)
+        d_r = (d_r / np.linalg.norm(d_r)).astype(f)
+        oc = int((d_r[0] < 0) | ((d_r[1] < 0) << 1) | ((d_r[2] < 0) << 2))
+        d_inv = np.where(d_r != 0, f(1.0) / d_r,
+                         np.where(d_r >= 0, f(np.inf), f(-np.inf)))
+        best = tmax
+        x = 0
+        steps = 0
+        while x != n:
+            steps += 1
+            assert steps < 10 * n
+            t0 = (lo[x] - o_r) * d_inv
+            t1 = (hi[x] - o_r) * d_inv
+            tn = np.minimum(t0, t1)
+            tf = np.maximum(t0, t1)
+            bh = max(tn.max(), tmin) <= min(tf.min(), best)
+            if leaf[x] and bh:
+                sel = slice(first[x], first[x] + count[x])
+                t, h = mt_all(o_r, d_r, tmin, best, sel)
+                if h.any():
+                    best = f(t[h].min())
+            x = wsucc[oc, x] if (bh and not leaf[x]) else wskip[oc, x]
+        t_all, h_all = mt_all(o_r, d_r, tmin, tmax, slice(0, n_tris))
+        ref = f(t_all[h_all].min()) if h_all.any() else tmax
+        assert best == ref, (i, best, ref)
+        hits += int(h_all.any())
+    assert hits > 30
