@@ -261,9 +261,13 @@ def widen_octant_links(
     return out_succ.astype(np.int32), out_skip.astype(np.int32)
 
 
-# wide-node consensus threading (see widen_octant_links) — experiment
-# knob, one process per leg
-MEGA_WIDE = __import__("os").environ.get("RAYTPU_MEGA_WIDE", "0") == "1"
+# wide-node consensus threading (see widen_octant_links). DEFAULT ON
+# since round 5 — same-session A/B with the gate green and n_diff=0
+# everywhere (tools/r16_wide_ab.py): config2 13.05 -> 12.47 (+4.7%),
+# config3 24.27 -> 22.22 (+9.2% — the consensus-tier presets), config4
+# 76.98 -> 76.20 (+1%, the per-lane tier's shared top walk). The link
+# tables keep their shapes, so flipping this knob never recompiles.
+MEGA_WIDE = __import__("os").environ.get("RAYTPU_MEGA_WIDE", "1") == "1"
 
 
 def pack_mega_tables(chunks, normals: bool = True) -> Tuple[

@@ -206,10 +206,25 @@ def test_pack_layout_roundtrip():
         # root AABB
         np.testing.assert_array_equal(roots[ci, :3], c["aabb_min"][0])
         np.testing.assert_array_equal(roots[ci, 3:], c["aabb_max"][0])
-        # octant ordering tables: succ | skip per (chunk, octant)
+        # octant ordering tables: succ | skip per (chunk, octant) —
+        # widened by default since round 5 (MEGA_WIDE; treelet roots
+        # stay threaded for the per-lane top walk)
         succ, skip = octant_links(
             c["aabb_min"], c["aabb_max"], c["first"], c["miss"]
         )
+        from raytpu.ops.mega import MEGA_WIDE, widen_octant_links
+
+        if MEGA_WIDE:
+            from raytpu.ops.perlane import treelet_partition
+
+            tid, nt = treelet_partition(c["first"], c["count"],
+                                        c["miss"])
+            first_of = np.ones(n, bool)
+            first_of[1:] = tid[1:] != tid[:-1]
+            succ, skip = widen_octant_links(
+                succ, skip, c["first"], c["miss"],
+                keep_extra=(tid < nt) & first_of,
+            )
         ot = octs.reshape(len(chunks), OCTANTS, lay.oct_len)
         np.testing.assert_array_equal(ot[ci, :, :n], succ)
         np.testing.assert_array_equal(ot[ci, :, pn : pn + n], skip)
