@@ -199,6 +199,7 @@ def widen_octant_links(
     succ: np.ndarray, skip: np.ndarray,
     first: np.ndarray, miss: np.ndarray,
     keep_extra: np.ndarray = None,
+    stride: int = 2,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Wide-node rethreading of the consensus walk (round-5 probe,
     VERDICT r4 item 4 applied to the walk the item literally names):
@@ -231,7 +232,10 @@ def widen_octant_links(
     for i in range(1, n):
         if par[i] >= 0:
             depth[i] = depth[par[i]] + 1
-    retained = leaf | (depth % 2 == 0)
+    # stride 2 retains every other interior level (stackless BVH4);
+    # stride 3 every third (BVH8) — weaker mid-level culling for fewer
+    # corridor visits, swept on-chip (tools/r17_stride_ab.py)
+    retained = leaf | (depth % stride == 0)
     if keep_extra is not None:
         retained |= keep_extra
     pref = np.concatenate([[0], np.cumsum(retained)])
@@ -268,6 +272,8 @@ def widen_octant_links(
 # 76.98 -> 76.20 (+1%, the per-lane tier's shared top walk). The link
 # tables keep their shapes, so flipping this knob never recompiles.
 MEGA_WIDE = __import__("os").environ.get("RAYTPU_MEGA_WIDE", "1") == "1"
+MEGA_WIDE_STRIDE = int(
+    __import__("os").environ.get("RAYTPU_MEGA_WIDE_STRIDE", "2"))
 
 
 def pack_mega_tables(chunks, normals: bool = True) -> Tuple[
@@ -306,7 +312,8 @@ def pack_mega_tables(chunks, normals: bool = True) -> Tuple[
             first_of[1:] = tid[1:] != tid[:-1]
             sites = (tid < nt) & first_of
             succ, skip = widen_octant_links(
-                succ, skip, c["first"], c["miss"], keep_extra=sites
+                succ, skip, c["first"], c["miss"], keep_extra=sites,
+                stride=MEGA_WIDE_STRIDE,
             )
         oct_t[ci, :, :n] = succ
         oct_t[ci, :, lay.pad_nodes : lay.pad_nodes + n] = skip
